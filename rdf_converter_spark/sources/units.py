@@ -1,0 +1,198 @@
+# -*- coding: utf-8 -*-
+"""Per-payload parsers: raw source bytes -> typed Python values.
+
+These are the *kernels* invoked inside Arrow-batched UDFs
+(``mapInPandas``) — one call per source unit, never per output row.
+They mirror the reference's input handling exactly:
+
+* CSV units reproduce ``pd.read_csv(..., encoding='latin-1',
+  delimiter=';').fillna('')`` semantics (ld_converter.py:68,
+  pa_converter.py:297) including pandas' numeric dtype inference.
+* Yle XML mirrors the XPath extraction at yle_converter.py:277-540.
+* ASR XML mirrors pa_converter.py:600-626 (speaker map, gender code,
+  ``seconds_to_time`` formatting, ``preprocess_content``, empty-content
+  skip).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import xml.etree.ElementTree as ET
+from typing import Dict, List, Optional
+
+import pandas as pd
+
+from ..textkit import preprocess_content, seconds_to_time
+
+
+def parse_csv_unit(payload: bytes) -> pd.Series:
+    """One CSV data row (header line + row bytes) -> pandas row.
+
+    Same dialect as the reference scan: latin-1, ';' delimiter, NaN ->
+    ''. Numeric columns inherit pandas' inference — the fixture domain
+    keeps numeric columns always-populated so per-unit inference equals
+    the reference's whole-file inference.
+    """
+    df = pd.read_csv(
+        io.BytesIO(payload), encoding="latin-1", delimiter=";", low_memory=False
+    ).fillna("")
+    return df.iloc[0]
+
+
+def _meta(root: ET.Element, name: str) -> Optional[str]:
+    node = root.find("./MAObject[1]/Meta/[@name='%s']" % name)
+    return node.text if node is not None else None
+
+
+def parse_yle_unit(payload: bytes) -> Dict:
+    """One Yle MAObject XML document -> dict of scalar fields plus
+    repeated sub-entity lists (yle_converter.py:277-540)."""
+    root = ET.fromstring(payload)
+    guid = root.find("./MAObject[1]/GUID").text
+
+    fields = {
+        "guid": guid,
+        "series_id": _meta(root, "SERIES_ID"),
+        "series_name": _meta(root, "SERIES_NAME"),
+        "number": _meta(root, "EPISODE_NUMBER"),
+        "subject": _meta(root, "SUBJECT"),
+        "fi_title": _meta(root, "FI_TITLE"),
+        "se_title": _meta(root, "SE_TITLE"),
+        "version": _meta(root, "VERSION_NAME"),
+        "main_title": _meta(root, "MAINTITLE"),
+        "metro_id": _meta(root, "METRO_PROGRAMME_ID"),
+        "language": _meta(root, "LANGUAGE"),
+        "duration1": _meta(root, "DURATION"),
+        "description": _meta(root, "DESCRIPTION_SHORT"),
+        "duration_tc": _meta(root, "SYSTEM_DURATION_TC"),
+        "working_title": _meta(root, "WORKING_TITLE"),
+        "archiving_date": _meta(root, "ARCHIVE_DATE"),
+        "class_comb_a": _meta(root, "CLASSIFICATION_COMB_A"),
+        "class_content": _meta(root, "CLASSIFICATION_CONTENT"),
+        "class_main": _meta(root, "CLASSIFICATION_MAIN_CLASS"),
+        "class_sub": _meta(root, "CLASSIFICATION_SUB_CLASS"),
+        "web_desc": _meta(root, "WEB_DESCRIPTION"),
+        "web_desc_sw": _meta(root, "WEB_DESCRIPTION_SWE"),
+        "media_id": _meta(root, "MEDIA_ID"),
+        "media_framerate": _meta(root, "SYSTEM_FRAMERATE_FPS"),
+        "media_video_format": _meta(root, "VIDEO_FORMAT"),
+        "media_aspect_ratio": _meta(root, "ASPECT_RATIO"),
+        "firstrun_date": _meta(root, "FIRSTRUN_DATE"),
+        "firstrun_time": _meta(root, "FIRSTRUN_TIME"),
+    }
+
+    subtitles = []
+    for sub in root.findall("./MVAttribute[@type='SUBTITLES']"):
+        subtitles.append(
+            {
+                "filename": sub.find("./Meta[@name='ST_FILENAME']").text,
+                "language": sub.find("./Meta[@name='ST_LANGUAGE_CODES']").text,
+                "file_format": sub.find("./Meta[@name='ST_FILE_FORMAT']").text,
+                "date_ingested": sub.find("./Meta[@name='ST_INGEST_DATE']").text,
+                "date_published": sub.find("./Meta[@name='ST_PUB_DATE']").text,
+            }
+        )
+
+    audios = []
+    for audio in root.findall("./MVAttribute[@type='AUDIO']"):
+        audios.append(
+            {
+                "codec": audio.find("./Meta[@name='PMA_CODEC']").text,
+                "language": audio.find("./Meta[@name='PMA_LANGUAGE']").text,
+                "sample_rate": audio.find("./Meta[@name='PMA_SAMPLE_RATE']").text,
+                "note": audio.find("./Meta[@name='PMA_NOTES']").text,
+            }
+        )
+
+    pubevents = []
+    for pub in root.findall("./MVAttribute[@type='PUBLICATIONS']"):
+        pubevents.append(
+            {
+                "pub_id": pub.find("./Meta[@name='PUB_ID']").text,
+                "datetime": pub.find("./Meta[@name='PUB_DATETIME']").text,
+                "datetime_end": pub.find("./Meta[@name='PUB_DATETIME_END']").text,
+                "channel": pub.find("./Meta[@name='PUB_CHANNEL']").text,
+            }
+        )
+
+    contributors = []
+    for cont in root.findall("./MVAttribute[@type='CONTRIBUTORS']"):
+        contributors.append(
+            {
+                "name": cont.find('./Meta[@name="CONT_PERSON_NAME"]').text,
+                "role": cont.find('./Meta[@name="CONT_PERSON_ROLE"]').text,
+            }
+        )
+
+    # segment descriptions keyed by GUID, joined intra-document
+    # (yle_converter.py:485-502 — J5: no shuffle, both sides same doc)
+    segments_content = {}
+    for content in root.findall("./MAObject[@mdclass='S_CONTENT_DESCRIPTION']"):
+        segments_content[content.find("./GUID").text] = content.find(
+            './Meta[@name="SEGMENT_DESCRIPTION"]'
+        ).text
+
+    segments = []
+    for seg in root.findall(
+        "./MAObject[1]/StratumEx[@name='CONTENT_DESCRIPTION']/*/Segment"
+    ):
+        if "contentid" in seg.attrib:
+            cid = seg.attrib["contentid"]
+            if cid in segments_content:
+                segments.append(
+                    {
+                        "content_id": cid,
+                        "begin": seg.attrib["begin"],
+                        "end": seg.attrib["end"],
+                        "description": segments_content[cid],
+                    }
+                )
+
+    fields["subtitles"] = subtitles
+    fields["audios"] = audios
+    fields["pubevents"] = pubevents
+    fields["contributors"] = contributors
+    fields["segments"] = segments
+    return fields
+
+
+def parse_asr_unit(payload: bytes, filename: str) -> List[Dict]:
+    """One Vocapia ASR XML document -> flat subtitle segment rows
+    (pa_converter.py:600-626)."""
+    root = ET.fromstring(payload)
+
+    speakers: Dict[str, Dict] = {}
+    for speaker in root.findall("./SpeakerList/Speaker"):
+        s = speaker.attrib
+        if s["spkid"] in speakers:
+            raise Exception("Speaker already mentioned")
+        speakers[s["spkid"]] = {
+            "gender": s["gender"],
+            "lang": s["lang"],
+            "nw": s["nw"],
+        }
+
+    rows: List[Dict] = []
+    for segment in root.findall("./SegmentList/SpeechSegment"):
+        s = segment.attrib
+        content = " ".join(w.text.strip() for w in segment.findall("./Word"))
+        if content == "":
+            continue
+        rows.append(
+            {
+                "identifier": filename,
+                "language": s["lang"],
+                "speaker": s["spkid"],
+                "gender": "M" if speakers[s["spkid"]]["gender"] == "1" else "F",
+                "start": seconds_to_time(float(s["stime"])),
+                "end": seconds_to_time(float(s["etime"])),
+                "content": preprocess_content(content),
+            }
+        )
+    return rows
+
+
+def parse_flow_unit(payload: bytes) -> Dict:
+    """One flow-mapping JSON object: {"name": ..., "flowHRef": ...}."""
+    return json.loads(payload.decode("utf-8"))
