@@ -1,0 +1,103 @@
+# -*- coding: utf-8 -*-
+"""Full KG-construction run: web_pages -> routed -> parsed -> triples
+-> deduplicated triple table (+ canonical entity map), with staged
+checkpoint/resume, lineage and metrics (plans.checkpoint).
+
+Stage graph (shuffle budget at 10^12 docs):
+  route         1 full corpus scan, no shuffle, written partitioned by
+                doc_type (downstream parses are partition-pruned)
+  parse_*       per-kind Arrow parse; no shuffle
+  pa_heure      global-order window (quirk F14) — single sort of the
+                PA slice only
+  triples_*     per-kind explode emission; no shuffle
+  ld_seg_times / pa_seg_times   J2 joins (AQE broadcasts lineage side)
+  flow_* / subtitles            J3/J4 joins against lineage tables
+  triples       union + salted dedup — THE pipeline shuffle; map-side
+                partial dedup collapses hub triples before exchange
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.emit import dedup_triples
+from ..plans.checkpoint import StageRunner
+from ..sources.route import route
+from ..sources.web_pages import read_web_pages
+from . import flow as flp
+from . import ld as ldp
+from . import pa as pap
+from . import subtitles as subp
+from . import yle as ylep
+from .vocab import ina_vocab, yle_vocab
+
+
+def run_pipeline(
+    spark: SparkSession,
+    web_pages_path: str,
+    work_dir: str,
+    resume: bool = True,
+) -> Dict[str, DataFrame]:
+    """Execute the full pipeline; returns the named output frames."""
+    sr = StageRunner(spark, work_dir, resume=resume)
+
+    routed = sr.stage(
+        "routed",
+        lambda: route(read_web_pages(spark, web_pages_path)),
+        partition_by=["doc_type"],
+    )
+
+    programs = sr.stage("parsed_ld_program",
+                        lambda: ldp.parse_ld_programs(routed))
+    segments = sr.stage("parsed_ld_segment",
+                        lambda: ldp.parse_ld_segments(routed))
+    pa = sr.stage("parsed_pa", lambda: pap.parse_pa(routed))
+    yle = sr.stage("parsed_yle", lambda: ylep.parse_yle(routed))
+    asr = sr.stage("parsed_asr", lambda: subp.parse_asr(routed))
+    flow = sr.stage("parsed_flow", lambda: flp.parse_flow(routed))
+
+    ld_lin = sr.stage("lineage_ld", lambda: ldp.ld_lineage(programs))
+    pa_full = sr.stage(
+        "pa_derived",
+        lambda: pap.pa_with_segment_times(pap.with_heure2(pa)),
+    )
+    pa_lin = sr.stage("lineage_pa", lambda: pap.pa_lineage(pa))
+    yle_lin = sr.stage("lineage_yle", lambda: ylep.yle_lineage(yle))
+
+    def build_triples() -> DataFrame:
+        parts = [
+            ldp.ld_program_triples(programs),
+            ina_vocab(spark, "ld"),
+            ldp.ld_segment_triples(
+                ldp.ld_segments_with_times(segments, programs)
+            ),
+            pap.pa_triples(pa_full),
+            ina_vocab(spark, "pa"),
+            ylep.yle_triples(yle),
+            yle_vocab(spark, "yle"),
+            flp.ld_flow_triples(flow, ld_lin),
+            flp.pa_flow_triples(flow, pa_lin),
+            flp.yle_flow_triples(flow, yle_lin),
+            subp.subtitle_triples(asr, ld_lin),
+        ]
+        acc = parts[0]
+        for p in parts[1:]:
+            acc = acc.unionByName(p, allowMissingColumns=True)
+        return dedup_triples(acc)
+
+    triples = sr.stage("triples", build_triples, partition_by=["graph"])
+    sr.write_metrics()
+    return {
+        "routed": routed,
+        "triples": triples,
+        "lineage_ld": ld_lin,
+        "lineage_pa": pa_lin,
+        "lineage_yle": yle_lin,
+        "metrics": spark.createDataFrame(
+            [tuple(m.values()) for m in sr.metrics],
+            "stage string, rows long, partitions int, seconds double, resumed boolean",
+        ),
+    }

@@ -1,0 +1,102 @@
+# -*- coding: utf-8 -*-
+"""Stage checkpointing: every stage materializes to a table location;
+a completed stage (atomic _SUCCESS marker from the parquet committer)
+is skipped on resume and read back instead of recomputed.
+
+This replaces the reference's rerun-from-scratch model (and its
+implicit cross-stage CSV handoffs, pa_converter.py:632) with explicit,
+resumable handles, per BASELINE north_rule. Parquet stands in for
+Iceberg snapshots in this environment (no Iceberg runtime jar); the
+stage API is format-agnostic, so swapping ``_write``/``_read`` to
+``writeTo(...).createOrReplace()`` + snapshot reads is localized here.
+
+Each completed stage appends a metrics row (rows, partitions, seconds)
+and per-partition lineage rows (stage, partition_id, row count) — the
+run's audit trail and the resume-validation input.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Callable, Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class StageRunner:
+    def __init__(self, spark: SparkSession, work_dir: str, resume: bool = True):
+        self.spark = spark
+        self.work_dir = work_dir
+        self.resume = resume
+        self.metrics: List[dict] = []
+        os.makedirs(work_dir, exist_ok=True)
+
+    # -- storage ----------------------------------------------------------
+    def path(self, name: str) -> str:
+        return os.path.join(self.work_dir, name)
+
+    def _done(self, name: str) -> bool:
+        return os.path.exists(os.path.join(self.path(name), "_SUCCESS"))
+
+    def _read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    # -- execution --------------------------------------------------------
+    def stage(
+        self,
+        name: str,
+        build: Callable[[], DataFrame],
+        partition_by: Optional[List[str]] = None,
+    ) -> DataFrame:
+        """Run (or resume) one stage; returns the materialized frame."""
+        if self.resume and self._done(name):
+            df = self._read(name)
+            self._record(name, df, seconds=0.0, resumed=True)
+            return df
+        t0 = time.time()
+        df = build()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(self.path(name))
+        out = self._read(name)
+        self._record(name, out, seconds=time.time() - t0, resumed=False)
+        return out
+
+    def _record(self, name: str, df: DataFrame, seconds: float, resumed: bool):
+        per_part = (
+            df.groupBy(F.spark_partition_id().alias("partition_id"))
+            .count()
+            .collect()
+        )
+        rows = sum(r["count"] for r in per_part)
+        self.metrics.append(
+            {
+                "stage": name,
+                "rows": rows,
+                "partitions": len(per_part),
+                "seconds": round(seconds, 3),
+                "resumed": resumed,
+            }
+        )
+        lineage_path = os.path.join(self.work_dir, "_lineage", name + ".json")
+        os.makedirs(os.path.dirname(lineage_path), exist_ok=True)
+        with open(lineage_path, "w") as fh:
+            for r in per_part:
+                fh.write(
+                    json.dumps(
+                        {
+                            "stage": name,
+                            "partition_id": r["partition_id"],
+                            "rows": r["count"],
+                        }
+                    )
+                    + "\n"
+                )
+
+    def write_metrics(self):
+        with open(os.path.join(self.work_dir, "_metrics.json"), "w") as fh:
+            json.dump(self.metrics, fh, indent=1)
