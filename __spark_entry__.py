@@ -1,10 +1,13 @@
+# -*- coding: utf-8 -*-
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship KG-construction query on the
+sf0.001 tables. ``queries()`` exposes one entry per implemented
+operator family (SURVEY.md §2 + the training-data toolkit);
+``oracle_sql()`` gives the DuckDB twin for every SQL-expressible one.
+
+All float-producing queries round to 6 dp and compute dot products in
+sequential double math on both engines so value hashes agree.
 """
 
 from __future__ import annotations
@@ -12,27 +15,760 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
 
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet("%s/%s.parquet" % (sf_dir, name))
+
+
+# ---------------------------------------------------------------------------
+# Flagship: KG construction over the prescribed tables — the engine's
+# emission machinery (triple bundles -> explode -> gate -> dedup)
+# applied to customer/nation/region + orders as the entity source.
+# ---------------------------------------------------------------------------
+
+def kg_tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rdf_converter_spark.operators.emit import (
+        dedup_triples, explode_triples, triple, uref,
+    )
+
+    base = "http://kg.test/"
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    orders = _t(spark, sf_dir, "orders")
+
+    dims = nation.join(F.broadcast(region),
+                       nation.n_regionkey == region.r_regionkey)
+    cust = customer.join(F.broadcast(dims),
+                         customer.c_nationkey == dims.n_nationkey)
+    cust = cust.select(
+        F.concat(F.lit(base + "customer/"),
+                 F.md5(F.col("c_name"))).alias("cust_uri"),
+        F.concat(
+            F.lit(base + "nation/"),
+            F.regexp_replace(F.lower(F.col("n_name")), "[^a-z0-9]+", "-"),
+        ).alias("nation_uri"),
+        "c_name", "n_name", "r_name", "c_mktsegment",
+    )
+    cust_triples = explode_triples(
+        cust,
+        F.array(
+            uref("cust_uri", base + "ontology#type", base + "Customer"),
+            triple("cust_uri", base + "ontology#name", F.col("c_name")),
+            uref("cust_uri", base + "ontology#nation", F.col("nation_uri")),
+            triple("cust_uri", base + "ontology#segment",
+                   F.col("c_mktsegment")),
+            triple("nation_uri", base + "ontology#label", F.col("n_name")),
+            triple("nation_uri", base + "ontology#region", F.col("r_name")),
+        ),
+        graph="tpch", src_url=None,
+    )
+    ords = orders.join(
+        customer.select("c_custkey", "c_name"),
+        orders.o_custkey == customer.c_custkey,
+    ).select(
+        F.concat(F.lit(base + "order/"),
+                 F.col("o_orderkey").cast("string")).alias("order_uri"),
+        F.concat(F.lit(base + "customer/"),
+                 F.md5(F.col("c_name"))).alias("cust_uri"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        "o_orderstatus",
+    )
+    order_triples = explode_triples(
+        ords,
+        F.array(
+            uref("order_uri", base + "ontology#type", base + "Order"),
+            uref("order_uri", base + "ontology#by", F.col("cust_uri")),
+            triple("order_uri", base + "ontology#date", F.col("odate"),
+                   dt="http://www.w3.org/2001/XMLSchema#date"),
+            triple("order_uri", base + "ontology#status",
+                   F.col("o_orderstatus")),
+        ),
+        graph="tpch", src_url=None,
+    )
+    out = dedup_triples(cust_triples.unionByName(order_triples))
+    return out.select("subj", "pred", "obj", "obj_is_uri", "obj_lang",
+                      "obj_datatype").orderBy("subj", "pred", "obj")
+
+
+_KG_TPCH_ORACLE = """
+WITH cust AS (
+  SELECT 'http://kg.test/customer/' || md5(c_name) AS cust_uri,
+         'http://kg.test/nation/' ||
+           regexp_replace(lower(n_name), '[^a-z0-9]+', '-', 'g') AS nation_uri,
+         c_name, n_name, r_name, c_mktsegment
+  FROM customer
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+), ords AS (
+  SELECT 'http://kg.test/order/' || o_orderkey AS order_uri,
+         'http://kg.test/customer/' || md5(c_name) AS cust_uri,
+         strftime(o_orderdate, '%Y-%m-%d') AS odate, o_orderstatus
+  FROM orders JOIN customer ON o_custkey = c_custkey
+), triples AS (
+  SELECT cust_uri AS subj, 'http://kg.test/ontology#type' AS pred,
+         'http://kg.test/Customer' AS obj, TRUE AS obj_is_uri,
+         CAST(NULL AS VARCHAR) AS obj_lang,
+         CAST(NULL AS VARCHAR) AS obj_datatype FROM cust
+  UNION ALL SELECT cust_uri, 'http://kg.test/ontology#name', c_name, FALSE,
+         NULL, NULL FROM cust
+  UNION ALL SELECT cust_uri, 'http://kg.test/ontology#nation', nation_uri,
+         TRUE, NULL, NULL FROM cust
+  UNION ALL SELECT cust_uri, 'http://kg.test/ontology#segment', c_mktsegment,
+         FALSE, NULL, NULL FROM cust
+  UNION ALL SELECT nation_uri, 'http://kg.test/ontology#label', n_name,
+         FALSE, NULL, NULL FROM cust
+  UNION ALL SELECT nation_uri, 'http://kg.test/ontology#region', r_name,
+         FALSE, NULL, NULL FROM cust
+  UNION ALL SELECT order_uri, 'http://kg.test/ontology#type',
+         'http://kg.test/Order', TRUE, NULL, NULL FROM ords
+  UNION ALL SELECT order_uri, 'http://kg.test/ontology#by', cust_uri, TRUE,
+         NULL, NULL FROM ords
+  UNION ALL SELECT order_uri, 'http://kg.test/ontology#date', odate, FALSE,
+         NULL, 'http://www.w3.org/2001/XMLSchema#date' FROM ords
+  UNION ALL SELECT order_uri, 'http://kg.test/ontology#status', o_orderstatus,
+         FALSE, NULL, NULL FROM ords
+)
+SELECT DISTINCT subj, pred, obj, obj_is_uri, obj_lang, obj_datatype
+FROM triples
+WHERE obj IS NOT NULL AND length(obj) > 0 AND obj <> 'None'
+ORDER BY subj, pred, obj
+"""
+
+
+# ---------------------------------------------------------------------------
+# Relational operator analogs (SURVEY §2 on the TPC-H-ish tables)
+# ---------------------------------------------------------------------------
+
+def scan_filter_project(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= "1995-01-01")
+            & (F.col("l_discount") > 0.05)
+        )
+        .select(
+            "l_orderkey", "l_linenumber",
+            F.upper(F.trim("l_returnflag")).alias("flag"),
+            F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")), 4)
+            .alias("net_price"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+def agg_partial(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def broadcast_dim_join(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer),
+                    orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def union_multisource(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"), F.lit("customer").alias("src")
+    )
+    supplier = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"), F.lit("supplier").alias("src")
+    )
+    return (
+        customer.unionByName(supplier)
+        .groupBy("src")
+        .agg(F.count("*").alias("n"),
+             F.min("name").alias("first_name"))
+        .orderBy("src")
+    )
+
+
+def explode_multivalue(spark, sf_dir):
+    part = _t(spark, sf_dir, "part")
+    return (
+        part.select(
+            F.explode(F.split(F.col("p_type"), " ")).alias("token")
+        )
+        .filter(F.length("token") > 0)
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy("token")
+    )
+
+
+def fallback_join(spark, sf_dir):
+    """J3 analog: primary key join, then a fallback candidate key for
+    misses, priority via coalesce."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    primary = customer.select(
+        F.col("c_custkey").alias("k1"), F.col("c_name").alias("name1")
+    )
+    fallback = customer.select(
+        F.col("c_custkey").alias("k2"), F.col("c_name").alias("name2")
+    )
+    probe = orders.withColumn("fb_key", F.col("o_custkey") % 100 + 1)
+    return (
+        probe.join(primary, probe.o_custkey == primary.k1, "left")
+        .join(fallback, probe.fb_key == fallback.k2, "left")
+        .withColumn("matched_name", F.coalesce("name1", "name2"))
+        .withColumn(
+            "matched_by",
+            F.when(F.col("name1").isNotNull(), "primary")
+            .when(F.col("name2").isNotNull(), "fallback")
+            .otherwise("none"),
+        )
+        .groupBy("matched_by")
+        .agg(F.count("*").alias("n"))
+        .orderBy("matched_by")
+    )
+
+
+def first_match(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("first_date"))
+        .orderBy("o_custkey")
+    )
+
+
+def window_counter(spark, sf_dir):
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        events.withColumn("n", F.row_number().over(w))
+        .filter(F.col("n") <= 3)
+        .select("user_id", "event_id", F.col("n").cast("long").alias("n"))
+        .orderBy("user_id", "n")
+    )
+
+
+def uri_mint_slug(spark, sf_dir):
+    customer = _t(spark, sf_dir, "customer")
+    slug = F.regexp_replace(F.lower(F.col("c_name")), "[^a-z0-9]+", "-")
+    return customer.select(
+        "c_custkey",
+        F.concat(F.lit("http://kg.test/agent/"), slug).alias("agent_uri"),
+        F.md5(F.col("c_name")).alias("name_md5"),
+    ).orderBy("c_custkey")
+
+
+def time_format(spark, sf_dir):
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd'T'HH:mm:ss").alias("iso_dt"),
+        F.concat(
+            F.lit("PT"),
+            F.lpad(F.hour("o_orderdate").cast("string"), 2, "0"), F.lit("H"),
+            F.lpad(F.minute("o_orderdate").cast("string"), 2, "0"), F.lit("M"),
+        ).alias("pt_style"),
+    ).orderBy("o_orderkey")
+
+
+def dedup_rows(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_returnflag", "l_linestatus")
+        .dropDuplicates()
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("distinct_orders"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def salted_dedup_rows(spark, sf_dir):
+    from rdf_converter_spark.operators.salt import salted_dedup
+
+    li = _t(spark, sf_dir, "lineitem")
+    dd = salted_dedup(
+        li.select("l_orderkey", "l_returnflag", "l_linestatus")
+    )
+    return (
+        dd.groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("distinct_orders"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data toolkit over documents / embeddings
+# ---------------------------------------------------------------------------
+
+def q_token_count(spark, sf_dir):
+    from rdf_converter_spark.operators.textstats import token_count
+
+    return token_count(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_quality(spark, sf_dir):
+    from rdf_converter_spark.operators.textstats import quality_score
+
+    return quality_score(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_lang_id(spark, sf_dir):
+    from rdf_converter_spark.operators.textstats import lang_id
+
+    return lang_id(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_fingerprint(spark, sf_dir):
+    from rdf_converter_spark.operators.textstats import fingerprint
+
+    return fingerprint(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_exact_dedup(spark, sf_dir):
+    from rdf_converter_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_t(spark, sf_dir, "documents")).orderBy("text_md5")
+
+
+def q_minhash_signatures(spark, sf_dir):
+    from rdf_converter_spark.operators.dedup import minhash_signatures
+
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"), k=8, shingle=3)
+    return sigs.select(
+        "doc_id", F.concat_ws("|", "signature").alias("sig")
+    ).orderBy("doc_id")
+
+
+def q_minhash_lsh_pairs(spark, sf_dir):
+    from rdf_converter_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), k=8, bands=4, shingle=3
+    ).orderBy("doc_a", "doc_b")
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    from rdf_converter_spark.operators.dedup import (
+        minhash_lsh_pairs, ngram_jaccard,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, k=8, bands=4, shingle=3)
+    return ngram_jaccard(docs, pairs, shingle=3).orderBy("doc_a", "doc_b")
+
+
+def q_simhash(spark, sf_dir):
+    from rdf_converter_spark.operators.dedup import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"), bits=16).orderBy("doc_id")
+
+
+def q_embedding_near_dup(spark, sf_dir):
+    from rdf_converter_spark.operators.dedup import embedding_near_dup
+
+    emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return embedding_near_dup(emb, threshold=0.9).orderBy("id_a", "id_b")
+
+
+def q_ann_topk(spark, sf_dir):
+    from rdf_converter_spark.operators.ann import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
+
+
+def q_ann_topk_lsh(spark, sf_dir):
+    from rdf_converter_spark.operators.ann import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, dim=64, k=5, planes=6).orderBy(
+        "query_id", "rank"
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    from rdf_converter_spark.operators.multimodal import (
+        documents_as_media, media_features,
+    )
+
+    media = documents_as_media(_t(spark, sf_dir, "documents"))
+    return media_features(media).select(
+        "media_id", "n_bytes", "digest"
+    ).orderBy("media_id")
+
+
+def q_cc_components(spark, sf_dir):
+    from rdf_converter_spark.operators.cc import connected_components
+
+    orders = _t(spark, sf_dir, "orders")
+    edges = orders.select(
+        F.concat(F.lit("n"), (F.col("o_orderkey") % 200).cast("string"))
+        .alias("src"),
+        F.concat(F.lit("n"), (F.col("o_custkey") % 200).cast("string"))
+        .alias("dst"),
+    )
+    comps = connected_components(edges)
+    return (
+        comps.groupBy("component")
+        .agg(F.count("*").alias("size"))
+        .orderBy(F.col("size").desc(), F.col("component"))
+    )
+
+
+def kg_web_pipeline(spark, sf_dir):
+    """Full web_pages KG pipeline on a deterministic generated corpus
+    (rows-only check: correctness is pytest's golden-equality gate)."""
+    import os
+    import sys
+    import tempfile
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from fixtures.generator import build_corpus
+    from rdf_converter_spark.pipelines.runner import run_pipeline
+
+    base = os.path.join(tempfile.gettempdir(), "rdfspark_entry_corpus_v1")
+    if not os.path.exists(os.path.join(base, "web_pages", "part-0.parquet")):
+        build_corpus(base, write_reference_layout=False)
+    work = tempfile.mkdtemp(prefix="rdfspark_entry_work_")
+    out = run_pipeline(spark, os.path.join(base, "web_pages"), work,
+                       resume=False)
+    return (
+        out["triples"]
+        .groupBy("graph")
+        .agg(F.count("*").alias("n_triples"))
+        .orderBy("graph")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract surface
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: KG triple construction
+    over the star schema via the engine's emission operators."""
+    return kg_tpch_triples(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "kg_tpch_triples": kg_tpch_triples,
+        "scan_filter_project": scan_filter_project,
+        "agg_partial": agg_partial,
+        "broadcast_dim_join": broadcast_dim_join,
+        "union_multisource": union_multisource,
+        "explode_multivalue": explode_multivalue,
+        "fallback_join": fallback_join,
+        "first_match": first_match,
+        "window_counter": window_counter,
+        "uri_mint_slug": uri_mint_slug,
+        "time_format": time_format,
+        "dedup_rows": dedup_rows,
+        "salted_dedup_rows": salted_dedup_rows,
+        "token_count": q_token_count,
+        "quality_score": q_quality,
+        "lang_id": q_lang_id,
+        "fingerprint": q_fingerprint,
+        "exact_dedup": q_exact_dedup,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard": q_ngram_jaccard,
+        "simhash": q_simhash,
+        "embedding_near_dup": q_embedding_near_dup,
+        "ann_topk": q_ann_topk,
+        "ann_topk_lsh": q_ann_topk_lsh,
+        "multimodal_features": q_multimodal_features,
+        "cc_components": q_cc_components,
+        "kg_web_pipeline": kg_web_pipeline,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_WORDS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+_STOPLIST = (
+    "['and','das','de','der','die','et','ei','että','hän','in','ja','la',"
+    "'le','les','nicht','of','on','the','to','und']"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    shingle3 = (
+        "list_transform(range(0, greatest(len({w}) - 3, 0) + 1),"
+        " i -> array_to_string(({w})[i+1:i+3], ' '))"
+    ).format(w=_WORDS)
+    return {
+        "kg_tpch_triples": _KG_TPCH_ORACLE,
+        "scan_filter_project": """
+            SELECT l_orderkey, l_linenumber,
+                   upper(trim(l_returnflag)) AS flag,
+                   round(l_extendedprice * (1 - l_discount), 4) AS net_price
+            FROM lineitem
+            WHERE l_shipdate >= '1995-01-01' AND l_discount > 0.05
+            ORDER BY l_orderkey, l_linenumber
+        """,
+        "agg_partial": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_price,
+                   round(avg(l_discount), 6) AS avg_disc,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "broadcast_dim_join": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS total
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1 ORDER BY 1
+        """,
+        "union_multisource": """
+            SELECT src, count(*) AS n, min(name) AS first_name FROM (
+              SELECT c_name AS name, 'customer' AS src FROM customer
+              UNION ALL
+              SELECT s_name AS name, 'supplier' AS src FROM supplier
+            ) GROUP BY src ORDER BY src
+        """,
+        "explode_multivalue": """
+            SELECT token, count(*) AS n FROM (
+              SELECT unnest(string_split(p_type, ' ')) AS token FROM part
+            ) WHERE length(token) > 0 GROUP BY token ORDER BY token
+        """,
+        "fallback_join": """
+            SELECT matched_by, count(*) AS n FROM (
+              SELECT CASE WHEN p.c_name IS NOT NULL THEN 'primary'
+                          WHEN f.c_name IS NOT NULL THEN 'fallback'
+                          ELSE 'none' END AS matched_by
+              FROM orders o
+              LEFT JOIN customer p ON o.o_custkey = p.c_custkey
+              LEFT JOIN customer f ON (o.o_custkey % 100) + 1 = f.c_custkey
+            ) GROUP BY matched_by ORDER BY matched_by
+        """,
+        "first_match": """
+            SELECT o_custkey, o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%d') AS first_date
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+              ) AS rn FROM orders
+            ) WHERE rn = 1 ORDER BY o_custkey
+        """,
+        "window_counter": """
+            SELECT user_id, event_id, n FROM (
+              SELECT user_id, event_id, row_number() OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+              ) AS n FROM events
+            ) WHERE n <= 3 ORDER BY user_id, n
+        """,
+        "uri_mint_slug": """
+            SELECT c_custkey,
+                   'http://kg.test/agent/' ||
+                     regexp_replace(lower(c_name), '[^a-z0-9]+', '-', 'g')
+                     AS agent_uri,
+                   md5(c_name) AS name_md5
+            FROM customer ORDER BY c_custkey
+        """,
+        "time_format": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%Y-%m-%dT%H:%M:%S') AS iso_dt,
+                   'PT' || lpad(CAST(hour(o_orderdate) AS VARCHAR), 2, '0')
+                        || 'H'
+                        || lpad(CAST(minute(o_orderdate) AS VARCHAR), 2, '0')
+                        || 'M' AS pt_style
+            FROM orders ORDER BY o_orderkey
+        """,
+        "dedup_rows": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS distinct_orders FROM (
+              SELECT DISTINCT l_orderkey, l_returnflag, l_linestatus
+              FROM lineitem
+            ) GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "salted_dedup_rows": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS distinct_orders FROM (
+              SELECT DISTINCT l_orderkey, l_returnflag, l_linestatus
+              FROM lineitem
+            ) GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "token_count": """
+            SELECT doc_id,
+                   len({w}) AS ws_tokens,
+                   length(regexp_replace(regexp_replace(lower(text),
+                     '[a-z]+|[0-9]|[^a-z0-9\\s]', 'x', 'g'),
+                     '\\s', '', 'g')) AS bpe_tokens
+            FROM documents ORDER BY doc_id
+        """.format(w=_WORDS),
+        "quality_score": """
+            SELECT doc_id,
+                   length(text) AS n_chars_calc,
+                   round(length(regexp_replace(text,
+                     '[^!-/:-@\\[-`{{-~]', '', 'g'))
+                     / greatest(length(text), 1), 6) AS punct_ratio,
+                   round(len(list_filter({w},
+                     x -> list_contains({s}, x)))
+                     / greatest(len({w}), 1), 6) AS stop_ratio,
+                   len({w}) AS n_words
+            FROM documents ORDER BY doc_id
+        """.format(w=_WORDS, s=_STOPLIST),
+        "lang_id": """
+            WITH scored AS (
+              SELECT doc_id, lang AS lang_declared,
+                len(list_filter({w}, x -> list_contains(
+                  ['der','die','und','das','nicht'], x))) AS de,
+                len(list_filter({w}, x -> list_contains(
+                  ['the','and','of','to','in'], x))) AS en,
+                len(list_filter({w}, x -> list_contains(
+                  ['ja','on','ei','että','hän'], x))) AS fi,
+                len(list_filter({w}, x -> list_contains(
+                  ['le','la','les','et','de'], x))) AS fr
+              FROM documents
+            )
+            SELECT doc_id, lang_declared,
+              CASE WHEN greatest(de, en, fi, fr) = 0 THEN 'und'
+                   WHEN de = greatest(de, en, fi, fr) THEN 'de'
+                   WHEN en = greatest(de, en, fi, fr) THEN 'en'
+                   WHEN fi = greatest(de, en, fi, fr) THEN 'fi'
+                   ELSE 'fr' END AS lang_guess
+            FROM scored ORDER BY doc_id
+        """.format(w=_WORDS),
+        "fingerprint": """
+            SELECT doc_id, list_aggregate(
+              list_transform(range(0, greatest(len({w}) - 5, 0) + 1),
+                i -> md5(array_to_string(({w})[i+1:i+5], ' '))),
+              'min') AS fingerprint
+            FROM documents ORDER BY doc_id
+        """.format(w=_WORDS),
+        "exact_dedup": """
+            SELECT md5(text) AS text_md5, min(doc_id) AS survivor_id,
+                   count(*) AS group_size
+            FROM documents GROUP BY 1 ORDER BY 1
+        """,
+        "minhash_signatures": """
+            SELECT doc_id, array_to_string(
+              list_transform(range(0, 8), i -> list_aggregate(
+                list_transform({sh}, s -> md5(CAST(i AS VARCHAR) || ' ' || s)),
+                'min')), '|') AS sig
+            FROM documents ORDER BY doc_id
+        """.format(sh=shingle3),
+        "minhash_lsh_pairs": """
+            WITH sigs AS (
+              SELECT doc_id, list_transform(range(0, 8), i -> list_aggregate(
+                list_transform({sh}, s -> md5(CAST(i AS VARCHAR) || ' ' || s)),
+                'min')) AS sig
+              FROM documents
+            ), banded AS (
+              SELECT doc_id, b AS band,
+                     array_to_string(sig[b*2+1:b*2+2], '|') AS bucket
+              FROM sigs, unnest(range(0, 4)) AS t(b)
+            )
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.bucket = b.bucket
+             AND a.doc_id < b.doc_id
+            ORDER BY doc_a, doc_b
+        """.format(sh=shingle3),
+        "ngram_jaccard": """
+            WITH sigs AS (
+              SELECT doc_id, list_transform(range(0, 8), i -> list_aggregate(
+                list_transform({sh}, s -> md5(CAST(i AS VARCHAR) || ' ' || s)),
+                'min')) AS sig
+              FROM documents
+            ), banded AS (
+              SELECT doc_id, b AS band,
+                     array_to_string(sig[b*2+1:b*2+2], '|') AS bucket
+              FROM sigs, unnest(range(0, 4)) AS t(b)
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+            ), sets_ AS (
+              SELECT doc_id, list_distinct({sh}) AS sh FROM documents
+            )
+            SELECT doc_a, doc_b,
+                   round(len(list_intersect(sa.sh, sb.sh)) / greatest(
+                     len(list_distinct(list_concat(sa.sh, sb.sh))), 1), 6)
+                     AS jaccard
+            FROM pairs
+            JOIN sets_ sa ON pairs.doc_a = sa.doc_id
+            JOIN sets_ sb ON pairs.doc_b = sb.doc_id
+            ORDER BY doc_a, doc_b
+        """.format(sh=shingle3),
+        "simhash": """
+            SELECT doc_id, array_to_string(
+              list_transform(range(0, 16), b -> CASE WHEN
+                list_sum(list_transform({w}, wd ->
+                  (CAST(floor((strpos('0123456789abcdef',
+                     substr(md5(wd), CAST(b // 4 AS INT) + 1, 1)) - 1)
+                     / power(2, b % 4)) AS INT) % 2) * 2 - 1
+                )) >= 0 THEN '1' ELSE '0' END), '') AS simhash
+            FROM documents ORDER BY doc_id
+        """.format(w=_WORDS),
+        "embedding_near_dup": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings WHERE vec_id < 100
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.v, b.v) /
+                     (sqrt(list_dot_product(a.v, a.v)) *
+                      sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.v, b.v) /
+                    (sqrt(list_dot_product(a.v, a.v)) *
+                     sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
+            ORDER BY id_a, id_b
+        """,
+        "ann_topk": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+            ), scored AS (
+              SELECT query_id, vec_id,
+                     round(list_dot_product(qv, v) /
+                       (sqrt(list_dot_product(qv, qv)) *
+                        sqrt(list_dot_product(v, v))), 6) AS cosine
+              FROM q CROSS JOIN e WHERE query_id <> vec_id
+            )
+            SELECT query_id, vec_id, rank, cosine FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+              ) AS rank FROM scored
+            ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   md5(text) AS digest
+            FROM documents ORDER BY media_id
+        """,
+    }

@@ -1,0 +1,137 @@
+# -*- coding: utf-8 -*-
+"""Similarity search over an embedding column (array<float>).
+
+``brute_force_topk`` is the exact baseline: query x corpus join,
+sequential-double cosine via zip_with/aggregate (bit-stable for the
+DuckDB oracle), rank window with deterministic tie-break.
+
+``lsh_topk`` is the scale path: random-hyperplane signatures (md5-seed
+deterministic pseudo-hyperplanes) bucket the corpus; search touches
+only same-bucket candidates — the join fans out per bucket instead of
+full cross-product. Probing multiple buckets trades recall/cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _as_double(df: DataFrame, col: str = "embedding") -> DataFrame:
+    return df.withColumn("v", F.transform(col, lambda x: x.cast("double")))
+
+
+def _cosine(va, vb):
+    dot = F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
+    return dot / (n(va) * n(vb))
+
+
+def brute_force_topk(
+    embeddings: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    queries: (query_id, embedding). Excludes self-matches by id.
+    """
+    corpus = _as_double(embeddings).select("vec_id", "v")
+    q = _as_double(queries).select(
+        F.col("query_id"), F.col("v").alias("qv")
+    )
+    scored = q.crossJoin(corpus).filter(
+        F.col("query_id") != F.col("vec_id")
+    ).withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("v")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine")
+    )
+
+
+def _hyperplane(dim: int, plane: int):
+    """Deterministic pseudo-random hyperplane: component j of plane p =
+    (md5-derived digit) - 7.5, reproducible in any engine."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            F.instr(
+                F.lit("0123456789abcdef"),
+                F.substring(
+                    F.md5(F.concat_ws("_", F.lit(plane), j.cast("string"))),
+                    1, 1,
+                ),
+            )
+            - 8.5
+        ),
+    )
+
+
+def lsh_signature(df: DataFrame, dim: int, planes: int = 8) -> DataFrame:
+    """Sign-of-projection bucket signature per vector."""
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    sig = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(planes - 1)),
+            lambda p: F.when(
+                F.aggregate(
+                    F.zip_with(
+                        v,
+                        # inline hyperplane for each p: deterministic md5 grid
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(dim - 1)),
+                            lambda j: F.instr(
+                                F.lit("0123456789abcdef"),
+                                F.substring(
+                                    F.md5(
+                                        F.concat_ws(
+                                            "_", p.cast("string"),
+                                            j.cast("string"),
+                                        )
+                                    ),
+                                    1, 1,
+                                ),
+                            ).cast("double")
+                            - 8.5,
+                        ),
+                        lambda x, h: x * h,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0")),
+        ),
+    )
+    return df.withColumn("bucket", sig)
+
+
+def lsh_topk(
+    embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+    planes: int = 6,
+) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's bucket."""
+    corpus = lsh_signature(_as_double(embeddings), dim, planes).select(
+        "vec_id", "v", "bucket"
+    )
+    q = lsh_signature(_as_double(queries), dim, planes).select(
+        F.col("query_id"), F.col("v").alias("qv"), "bucket"
+    )
+    scored = q.join(corpus, "bucket").filter(
+        F.col("query_id") != F.col("vec_id")
+    ).withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("v")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine")
+    )

@@ -1,0 +1,103 @@
+# -*- coding: utf-8 -*-
+"""Text analysis for training-data pipelines over a ``documents``
+table (doc_id, text, lang, source, n_chars).
+
+Everything is built from native ``pyspark.sql.functions`` (JVM-side,
+whole-stage-codegen) — no Python in the hot path. Each operator has an
+ANSI-SQL twin (see __spark_entry__.oracle_sql) used as the DuckDB
+correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic, language-marker stopword sets (lowercase, whole-word)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "fr": ["le", "la", "les", "et", "de"],
+    "fi": ["ja", "on", "ei", "että", "hän"],
+    "de": ["der", "die", "und", "das", "nicht"],
+}
+
+STOPWORDS = sorted(set(w for ws in LANG_MARKERS.values() for w in ws))
+
+
+def _words(col: str = "text"):
+    return F.split(F.lower(F.trim(F.col(col))), r"\s+")
+
+
+def token_count(docs: DataFrame) -> DataFrame:
+    """Whitespace tokens + a BPE-ish proxy (runs of letters / digits /
+    single punctuation, the usual pre-tokenizer regex)."""
+    bpe = F.regexp_replace(
+        F.lower(F.col("text")), r"[a-z]+|[0-9]|[^a-z0-9\s]", "x"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(_words()).cast("long").alias("ws_tokens"),
+        F.length(F.regexp_replace(bpe, r"\s", "")).cast("long").alias("bpe_tokens"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword heuristics (fixed weights)."""
+    n_chars = F.length("text")
+    punct = F.length(F.regexp_replace("text", r"[^!-/:-@\[-`{-~]", ""))
+    words = _words()
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(STOPWORDS))
+    )
+    n_words = F.size(words)
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars_calc"),
+        F.round(punct / F.greatest(n_chars, F.lit(1)), 6).alias("punct_ratio"),
+        F.round(stop_hits / F.greatest(n_words, F.lit(1)), 6).alias("stop_ratio"),
+        n_words.cast("long").alias("n_words"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Marker-word language guess: argmax of per-language hit counts,
+    ties broken by language code order; 'und' when no marker hits."""
+    words = _words()
+
+    def hit_counter(markers):
+        # NOTE: a two-arg lambda would be treated as (element, index)
+        # by F.filter — keep the closure single-arg
+        return F.size(F.filter(words, lambda w: w.isin(markers)))
+
+    scores = [
+        hit_counter(markers).alias(code)
+        for code, markers in sorted(LANG_MARKERS.items())
+    ]
+    scored = docs.select("doc_id", "lang", *scores)
+    codes = sorted(LANG_MARKERS)
+    best = F.greatest(*[F.col(c) for c in codes])
+    guess = F.lit("und")
+    for c in reversed(codes):  # earlier codes win ties
+        guess = F.when((F.col(c) == best) & (best > 0), F.lit(c)).otherwise(guess)
+    return scored.select(
+        "doc_id", F.col("lang").alias("lang_declared"),
+        guess.alias("lang_guess"),
+    )
+
+
+def fingerprint(docs: DataFrame, shingle: int = 5) -> DataFrame:
+    """Document fingerprint: minimum md5 over word 5-gram shingles
+    (winnowing-style rolling selection, min-sampled)."""
+    words = _words()
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size(words) - shingle, F.lit(0))
+    )
+    shingles = F.transform(
+        idx,
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(words, i + 1, shingle))
+        ),
+    )
+    return docs.select(
+        "doc_id", F.array_min(shingles).alias("fingerprint")
+    )
