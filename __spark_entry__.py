@@ -685,9 +685,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, b AS band,
                      array_to_string(sig[b*2+1:b*2+2], '|') AS bucket
               FROM sigs, unnest(range(0, 4)) AS t(b)
+            ), sizes AS (
+              SELECT band, bucket, count(*) AS n FROM banded GROUP BY 1, 2
+            ), pruned AS (
+              SELECT banded.* FROM banded
+              JOIN sizes USING (band, bucket) WHERE sizes.n <= 64
             )
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM banded a JOIN banded b
+            FROM pruned a JOIN pruned b
               ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id
             ORDER BY doc_a, doc_b
@@ -702,9 +707,14 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, b AS band,
                      array_to_string(sig[b*2+1:b*2+2], '|') AS bucket
               FROM sigs, unnest(range(0, 4)) AS t(b)
+            ), sizes AS (
+              SELECT band, bucket, count(*) AS n FROM banded GROUP BY 1, 2
+            ), pruned AS (
+              SELECT banded.* FROM banded
+              JOIN sizes USING (band, bucket) WHERE sizes.n <= 64
             ), pairs AS (
               SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-              FROM banded a JOIN banded b
+              FROM pruned a JOIN pruned b
                 ON a.band = b.band AND a.bucket = b.bucket
                AND a.doc_id < b.doc_id
             ), sets_ AS (

@@ -1,0 +1,242 @@
+#!/usr/bin/env python
+# -*- coding: utf-8 -*-
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <total headline seconds>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "kg": {...}, "scaling": {...}}
+
+Two sections:
+1. headline queries from __spark_entry__.queries() at
+   $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+   local[$SPARK_GRAFT_CPUS];
+2. the flagship KG pipeline (web_pages -> triples) on a generated
+   corpus, run at TWO parallelism levels (local[8] vs local[N], the
+   sandbox proxy for N vs 4N executors per the north rule) on the SAME
+   input; reports throughput at both + scaling efficiency, and appends
+   the numbers to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# Scaling pair (N vs 4N): both levels must leave the host UNSATURATED,
+# otherwise the ratio measures turbo-frequency droop + python/JVM
+# core oversubscription instead of the engine's scaling (each Python-
+# UDF task occupies a JVM thread AND a Python process; local[32] on a
+# 32-core host runs ~48 runnable threads). local[2] -> local[8] is the
+# sandbox proxy for N -> 4N executors with dedicated cores.
+LOW_CPUS = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "2"))
+HIGH_CPUS = 4 * LOW_CPUS
+REPLICATION = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "6"))
+BENCH_LD = int(os.environ.get("SPARK_GRAFT_BENCH_LD", "3000"))
+
+HEADLINE = [
+    "kg_tpch_triples",
+    "scan_filter_project",
+    "agg_partial",
+    "broadcast_dim_join",
+    "explode_multivalue",
+    "fallback_join",
+    "first_match",
+    "window_counter",
+    "uri_mint_slug",
+    "dedup_rows",
+    "token_count",
+    "quality_score",
+    "lang_id",
+    "fingerprint",
+    "exact_dedup",
+    "minhash_lsh_pairs",
+    "simhash",
+    "embedding_near_dup",
+    "ann_topk",
+    "multimodal_features",
+]
+
+
+def make_spark(n, shuffle_partitions=None, adaptive=True):
+    from pyspark.sql import SparkSession
+
+    return (
+        SparkSession.builder.master("local[%d]" % n)
+        .appName("rdf-converter-spark-bench")
+        .config("spark.sql.shuffle.partitions",
+                str(shuffle_partitions or max(32, 2 * n)))
+        # AQE stays on for the query section; the scaling section turns
+        # it off so queryExecution.toRdd() is lazy (AQE executes
+        # intermediate stages eagerly during adaptive planning, which
+        # would smear execution into the planning measurement)
+        .config("spark.sql.adaptive.enabled", str(adaptive).lower())
+        .config("spark.sql.adaptive.coalescePartitions.enabled",
+                str(adaptive).lower())
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # small bench files bin-pack into very few input splits by
+        # default, capping downstream cached-stage parallelism
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "262144")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+
+
+def bench_corpus() -> str:
+    """Deterministic bench corpus, cached across runs."""
+    from fixtures.generator import build_corpus
+
+    tag = "ld%d_v1" % BENCH_LD
+    base = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        ".bench", "corpus_" + tag)
+    marker = os.path.join(base, "web_pages")
+    if not os.path.isdir(marker) or not os.listdir(marker):
+        build_corpus(
+            base,
+            n_ld=BENCH_LD,
+            n_pa=max(10, int(BENCH_LD * 0.75)),
+            n_yle=max(5, BENCH_LD // 5),
+            n_asr=max(3, BENCH_LD // 20),
+            write_reference_layout=False,
+            n_files=64,
+        )
+    return marker
+
+
+def run_kg_pipeline(n_cores: int, corpus: str, runs: int = 2):
+    """Full pipeline at one parallelism level; returns metrics dict."""
+    from pyspark.sql import functions as F
+
+    from rdf_converter_spark.pipelines.runner import build_triples_inmem
+    from rdf_converter_spark.sources.route import route
+    from rdf_converter_spark.sources.web_pages import read_web_pages
+
+    spark = make_spark(n_cores, adaptive=False)
+    try:
+        web = read_web_pages(spark, corpus)
+        if REPLICATION > 1:
+            rep = spark.range(REPLICATION).select(
+                F.col("id").alias("_rep")
+            )
+            web = web.crossJoin(rep).withColumn(
+                "url",
+                F.concat("url", F.lit("?rep="), F.col("_rep").cast("string")),
+            ).drop("_rep")
+        n_pages = web.count()  # warm the input, outside the timed window
+
+        # Per run: fresh plan + full execution timed together (the
+        # honest whole-job number); a FRESH plan per run prevents
+        # shuffle-stage reuse from faking the second execution;
+        # best-of-two tames local-mode noise. The scaling job is the
+        # VOLUME path (parse -> emit -> dedup): the side branches join
+        # against lineage tables ~1000x smaller than the corpus and
+        # are benchmarked via the full run_pipeline elsewhere.
+        from rdf_converter_spark.pipelines.runner import (
+            build_triples_extraction,
+        )
+
+        secs = float("inf")
+        n_triples = 0
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            routed = route(web)
+            triples = build_triples_extraction(spark, routed)
+            n_triples = triples.count()
+            secs = min(secs, time.time() - t0)
+        return {
+            "cores": n_cores,
+            "pages": n_pages,
+            "distinct_triples": n_triples,
+            "seconds": round(secs, 2),
+            "pages_per_sec": round(n_pages / secs, 1),
+            "triples_per_sec": round(n_triples / secs, 1),
+        }
+    finally:
+        spark.stop()
+
+
+def main():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "spark_entry",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "__spark_entry__.py"),
+    )
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    # -- section 1: headline queries -------------------------------------
+    spark = make_spark(CPUS)
+    qs = entry.queries()
+    timings = {}
+    try:
+        # warm the JVM/codegen/Python-worker pool outside any timing
+        spark.range(1000).selectExpr("md5(cast(id as string)) x").count()
+        for name in HEADLINE:
+            t0 = time.time()
+            qs[name](spark, SF_DIR).count()
+            timings[name] = round(time.time() - t0, 3)
+    finally:
+        spark.stop()
+    total = round(sum(timings.values()), 3)
+
+    # -- section 2: KG pipeline at two parallelism levels -----------------
+    corpus = bench_corpus()
+    low = run_kg_pipeline(LOW_CPUS, corpus)
+    high = run_kg_pipeline(HIGH_CPUS, corpus)
+    peak = run_kg_pipeline(CPUS, corpus, runs=1)
+    efficiency = round(
+        (high["pages_per_sec"] / low["pages_per_sec"]) / 4.0, 3
+    )
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    result = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "kg": {"low": low, "high": high, "peak": peak},
+        "scaling": {
+            "low_cores": LOW_CPUS,
+            "high_cores": HIGH_CPUS,
+            "factor": 4.0,
+            "efficiency": efficiency,
+        },
+        "triples_per_sec": peak["triples_per_sec"],
+        "pages_per_sec": peak["pages_per_sec"],
+    }
+    print(json.dumps(result))
+
+    # append the scaling record to BENCH.md
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH.md"), "a") as fh:
+            fh.write(
+                "\n| %s | local[%d]: %.1f pages/s, %.1f triples/s "
+                "| local[%d]: %.1f pages/s, %.1f triples/s | %.3f | "
+                "peak local[%d]: %.1f pages/s, %.1f triples/s |"
+                % (
+                    time.strftime("%Y-%m-%d %H:%M:%S"),
+                    LOW_CPUS, low["pages_per_sec"], low["triples_per_sec"],
+                    HIGH_CPUS, high["pages_per_sec"], high["triples_per_sec"],
+                    efficiency,
+                    CPUS, peak["pages_per_sec"], peak["triples_per_sec"],
+                )
+            )
+    except OSError:
+        pass
+
+
+if __name__ == "__main__":
+    main()

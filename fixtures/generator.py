@@ -569,7 +569,10 @@ class CorpusBuilder:
             w.writerow(header)
             w.writerows(rows)
 
-    def write_web_pages(self):
+    def write_web_pages(self, n_files: int = 1):
+        """Write the web_pages parquet; ``n_files > 1`` interleaves
+        rows round-robin across files so Spark gets balanced input
+        splits at bench scale (one file caps scan parallelism)."""
         cols = list(zip(*self.pages))
         table = pa.table(
             {
@@ -582,12 +585,22 @@ class CorpusBuilder:
         )
         out = os.path.join(self.out, "web_pages")
         os.makedirs(out, exist_ok=True)
-        pq.write_table(table, os.path.join(out, "part-0.parquet"))
+        if n_files <= 1:
+            pq.write_table(table, os.path.join(out, "part-0.parquet"))
+        else:
+            import numpy as np
+
+            idx = np.arange(table.num_rows)
+            for f in range(n_files):
+                part = table.take(idx[idx % n_files == f])
+                pq.write_table(
+                    part, os.path.join(out, "part-%05d.parquet" % f)
+                )
         return out
 
 
 def build_corpus(out_dir, n_ld=30, n_pa=20, n_yle=12, n_asr=6,
-                 seed=42, write_reference_layout=True):
+                 seed=42, write_reference_layout=True, n_files=1):
     """Build the full corpus; returns the CorpusBuilder."""
     b = CorpusBuilder(out_dir, seed=seed)
     b.build_ld(n_ld, write_files=write_reference_layout)
@@ -595,7 +608,7 @@ def build_corpus(out_dir, n_ld=30, n_pa=20, n_yle=12, n_asr=6,
     b.build_yle(n_yle, write_files=write_reference_layout)
     b.build_asr(n_asr, write_files=write_reference_layout)
     b.build_flow(write_files=write_reference_layout)
-    b.write_web_pages()
+    b.write_web_pages(n_files=n_files)
     return b
 
 

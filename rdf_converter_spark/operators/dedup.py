@@ -24,6 +24,17 @@ def _words(col: str = "text"):
     return F.split(F.lower(F.trim(F.col(col))), r"\s+")
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Hash-expression-heavy operators are CPU-bound per row; a table
+    that arrives in fewer splits than the cluster has slots (small
+    files bin-packed by maxPartitionBytes) would serialize them —
+    spread to the default parallelism first."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(docs: DataFrame) -> DataFrame:
     """Exact duplicate groups by full-text md5; survivor = min doc_id."""
     return (
@@ -48,8 +59,10 @@ def minhash_signatures(docs: DataFrame, k: int = 8, shingle: int = 3) -> DataFra
     """k min-hashes: h_i(doc) = min over shingles of md5(i || ' ' || s).
 
     One row per doc with an array signature — computed entirely inside
-    array expressions (no explode, no shuffle).
+    array expressions (no explode; the only exchange is the optional
+    parallelism spread).
     """
+    docs = _spread(docs)
     sh = _shingles(shingle)
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(k - 1)),
@@ -63,13 +76,26 @@ def minhash_signatures(docs: DataFrame, k: int = 8, shingle: int = 3) -> DataFra
 
 
 def minhash_lsh_pairs(
-    docs: DataFrame, k: int = 8, bands: int = 4, shingle: int = 3
+    docs: DataFrame, k: int = 8, bands: int = 4, shingle: int = 3,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Banded LSH: signature split into ``bands`` rows of k/bands
     hashes; docs sharing any full band land in one bucket; emit
-    candidate pairs (a < b) deduplicated across bands."""
+    candidate pairs (a < b) deduplicated across bands.
+
+    ``max_bucket`` drops mega-buckets (boilerplate shingles shared by
+    a large doc fraction): they contribute O(bucket^2) candidate pairs
+    of near-zero precision and are the classic LSH skew hazard at
+    corpus scale. The cap is an aggregation-side guard (count per
+    bucket BEFORE the self-join), so the hot keys never reach the
+    join."""
     rows_per_band = k // bands
-    sigs = minhash_signatures(docs, k=k, shingle=shingle)
+    # materialize signatures before banding: Catalyst's projection
+    # collapse would otherwise inline the (k x shingles md5) signature
+    # expression into EVERY band struct, recomputing it per band
+    sigs = minhash_signatures(docs, k=k, shingle=shingle).localCheckpoint(
+        eager=False
+    )
     banded = sigs.select(
         "doc_id",
         F.explode(
@@ -85,8 +111,11 @@ def minhash_lsh_pairs(
             )
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    sizes = banded.groupBy("band", "bucket").count()
+    small = sizes.filter(F.col("count") <= max_bucket).select("band", "bucket")
+    pruned = banded.join(small, ["band", "bucket"])
+    a = pruned.alias("a")
+    b = pruned.alias("b")
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
@@ -101,6 +130,7 @@ def minhash_lsh_pairs(
 def ngram_jaccard(docs: DataFrame, pairs: DataFrame, shingle: int = 3) -> DataFrame:
     """Exact shingle-set Jaccard for candidate pairs (verification
     stage after LSH)."""
+    docs = _spread(docs)
     sets_ = docs.select(
         "doc_id", F.array_distinct(_shingles(shingle)).alias("sh")
     )
@@ -119,6 +149,7 @@ def simhash(docs: DataFrame, bits: int = 16) -> DataFrame:
     """SimHash over words: bit b of md5(word) votes +1/-1; fingerprint
     bit = sign of the vote sum. Hex-digit arithmetic is done with
     ``instr`` string ops so DuckDB reproduces it exactly."""
+    docs = _spread(docs)
     words = _words()
     hexmap = "0123456789abcdef"
 

@@ -285,22 +285,31 @@ def parse_pa(routed: DataFrame) -> DataFrame:
 def with_heure2(pa: DataFrame) -> DataFrame:
     """Resolve 'Heure de diffusion 2' with the stale carry [Q].
 
-    The carry is inherently sequential over the reference's global row
-    order — a single-partition window. Scale note: marker rows are
-    rare; at corpus scale this stage would restrict the window to the
-    (tiny) subset of rows with empty heure_raw and join back; kept
-    simple here because the fixture contract defines order globally.
+    The carry is sequential over the reference's global row order, but
+    it only *involves* rows whose ``Heure de diffusion`` is empty:
+    marker values are produced exclusively by such rows, and only such
+    rows consume the carry. So the single-partition ordered window runs
+    on that (tiny at corpus scale) subset and joins back — the 99%+
+    majority of rows never enter a global sort.
     """
+    needs = pa.filter(F.col("heure_raw") == "").select(
+        "dataset", "file", "row", "heure_marker"
+    )
     w = (
         Window.orderBy("dataset", "file", "row")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return pa.withColumn(
+    carried = needs.withColumn(
+        "heure_carried", F.last("heure_marker", ignorenulls=True).over(w)
+    ).select("dataset", "file", "row", "heure_carried")
+    # carried is tiny (only heure-empty rows) — broadcast it so the
+    # main PA table is never shuffled for this join
+    return pa.join(F.broadcast(carried), ["dataset", "file", "row"], "left").withColumn(
         "heure2",
         F.when(F.col("heure_raw") != "", F.col("heure_raw")).otherwise(
-            F.last("heure_marker", ignorenulls=True).over(w)
+            F.col("heure_carried")
         ),
-    )
+    ).drop("heure_carried")
 
 
 @F.pandas_udf(T.StringType())

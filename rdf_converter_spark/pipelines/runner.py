@@ -35,6 +35,74 @@ from . import yle as ylep
 from .vocab import ina_vocab, yle_vocab
 
 
+def build_triples_inmem(spark: SparkSession, routed: DataFrame) -> DataFrame:
+    """Single-plan variant (no staged materialization): routed rows ->
+    deduplicated triple table. Used by benchmarks and the streaming
+    foreachBatch path; the staged ``run_pipeline`` is the resumable
+    production shape."""
+    # cache the boundaries that feed multiple branches: routed feeds
+    # six parses; programs feeds triples + lineage + the segment join;
+    # pa feeds derivation + lineage (mirrors the staged runner's
+    # materialization without the disk round-trip)
+    routed = routed.persist()
+    programs = ldp.parse_ld_programs(routed).persist()
+    segments = ldp.parse_ld_segments(routed)
+    pa = pap.parse_pa(routed).persist()
+    pa_full = pap.pa_with_segment_times(pap.with_heure2(pa))
+    yle = ylep.parse_yle(routed).persist()
+    asr = subp.parse_asr(routed)
+    flow = flp.parse_flow(routed)
+    ld_lin = ldp.ld_lineage(programs)
+    pa_lin = pap.pa_lineage(pa)
+    yle_lin = ylep.yle_lineage(yle)
+    parts = [
+        ldp.ld_program_triples(programs),
+        ina_vocab(spark, "ld"),
+        ldp.ld_segment_triples(ldp.ld_segments_with_times(segments, programs)),
+        pap.pa_triples(pa_full),
+        ina_vocab(spark, "pa"),
+        ylep.yle_triples(yle),
+        yle_vocab(spark, "yle"),
+        flp.ld_flow_triples(flow, ld_lin),
+        flp.pa_flow_triples(flow, pa_lin),
+        flp.yle_flow_triples(flow, yle_lin),
+        subp.subtitle_triples(asr, ld_lin),
+    ]
+    acc = parts[0]
+    for p in parts[1:]:
+        acc = acc.unionByName(p, allowMissingColumns=True)
+    return dedup_triples(acc)
+
+
+def build_triples_extraction(spark: SparkSession, routed: DataFrame) -> DataFrame:
+    """The VOLUME path only: parse -> emit -> dedup for the three
+    document kinds, skipping the lineage-table side branches (segment
+    relative times, flow links, subtitles) whose inputs are orders of
+    magnitude smaller than the corpus. This is the job whose throughput
+    must scale with executors at 10^12 docs; used by the scaling bench.
+    PA rows get null relative-time columns (their start/end triples are
+    gated) — programs, the overwhelming majority, are unaffected."""
+    routed = routed.persist()
+    programs = ldp.parse_ld_programs(routed)
+    pa = pap.with_heure2(pap.parse_pa(routed))
+    pa = pa.withColumn("parent_heure2", F.lit(None).cast("string"))
+    pa = (
+        pa.withColumn("t_start", F.lit(None).cast("string"))
+        .withColumn("t_end", F.lit(None).cast("string"))
+        .withColumn(
+            "pubevent_start_lex",
+            F.when(~F.col("is_segment"),
+                   pap._pa_pubevent_datetime(F.col("broadcast_date"),
+                                             F.col("heure2"))),
+        )
+    )
+    yle = ylep.parse_yle(routed)
+    acc = ldp.ld_program_triples(programs)
+    for p in (pap.pa_triples(pa), ylep.yle_triples(yle)):
+        acc = acc.unionByName(p, allowMissingColumns=True)
+    return dedup_triples(acc)
+
+
 def run_pipeline(
     spark: SparkSession,
     web_pages_path: str,
