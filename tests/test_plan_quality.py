@@ -1,0 +1,63 @@
+# -*- coding: utf-8 -*-
+"""Physical-plan assertions: the optimizations the 100 TB design
+relies on must actually appear in the executed plans."""
+
+import os
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark, corpus):
+    from pyspark.sql import functions as F
+
+    from rdf_converter_spark.sources.web_pages import read_web_pages
+
+    web = read_web_pages(spark, os.path.join(corpus, "web_pages"))
+    plan = _plan(web.filter(F.col("lang") == "fr").select("url", "lang"))
+    assert "PushedFilters" in plan
+    assert "lang" in plan.split("PushedFilters")[1][:200], plan
+
+
+def test_no_row_python_udfs_in_pipeline(spark, routed):
+    """The hot path must use Arrow batches only: no row-at-a-time
+    BatchEvalPython anywhere in the full triple plan."""
+    from rdf_converter_spark.pipelines.runner import build_triples_extraction
+
+    plan = _plan(build_triples_extraction(spark, routed))
+    assert "BatchEvalPython" not in plan
+    assert ("ArrowEvalPython" in plan) or ("MapInPandas" in plan)
+
+
+def test_heure_carry_join_is_broadcast(spark, routed):
+    """The stale-carry join back must broadcast the tiny carried side
+    (never shuffle the main PA table)."""
+    from rdf_converter_spark.pipelines import pa as pap
+
+    plan = _plan(pap.with_heure2(pap.parse_pa(routed)))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_emission_is_whole_stage_codegen(spark, routed):
+    """Triple emission (explode + gate) must stay inside whole-stage
+    codegen after the Arrow parse boundary."""
+    from rdf_converter_spark.pipelines import ld as ldp
+
+    plan = _plan(ldp.ld_program_triples(ldp.parse_ld_programs(routed)))
+    # codegen'd operators render with the '*(n)' prefix
+    assert "*(" in plan, plan
+
+
+def test_dedup_is_partial_aggregate(spark, routed):
+    """dropDuplicates must compile to a two-phase hash aggregate
+    (map-side partial collapse of hub triples before the exchange)."""
+    from rdf_converter_spark.operators.emit import dedup_triples
+    from rdf_converter_spark.pipelines import ld as ldp
+
+    triples = dedup_triples(
+        ldp.ld_program_triples(ldp.parse_ld_programs(routed))
+    )
+    plan = _plan(triples)
+    n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
+    assert n_aggs >= 2, plan
