@@ -11,11 +11,13 @@ Two sections:
 1. headline queries from __spark_entry__.queries() at
    $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
    local[$SPARK_GRAFT_CPUS];
-2. the flagship KG pipeline (web_pages -> triples) on a generated
-   corpus, run at TWO parallelism levels (local[8] vs local[N], the
-   sandbox proxy for N vs 4N executors per the north rule) on the SAME
-   input; reports throughput at both + scaling efficiency, and appends
-   the numbers to BENCH.md.
+2. the flagship KG pipeline's volume path (web_pages -> triples) on a
+   generated corpus, run at TWO parallelism levels (local[2] vs
+   local[8] — the sandbox proxy for N vs 4N executors per the north
+   rule; see BENCH.md for why the pair must leave the host
+   unsaturated) on the SAME input, plus a saturated local[CPUS] peak
+   run; reports throughput at each + scaling efficiency, appending to
+   BENCH.md.
 """
 
 from __future__ import annotations
@@ -115,7 +117,6 @@ def run_kg_pipeline(n_cores: int, corpus: str, runs: int = 2):
     """Full pipeline at one parallelism level; returns metrics dict."""
     from pyspark.sql import functions as F
 
-    from rdf_converter_spark.pipelines.runner import build_triples_inmem
     from rdf_converter_spark.sources.route import route
     from rdf_converter_spark.sources.web_pages import read_web_pages
 
