@@ -424,6 +424,17 @@ def q_multimodal_features(spark, sf_dir):
     ).orderBy("media_id")
 
 
+
+def q_entity_linking(spark, sf_dir):
+    from rdf_converter_spark.operators.linker import (
+        build_alias_dictionary, entity_links,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    aliases = build_alias_dictionary(docs, n_entities=30, min_len=4)
+    return entity_links(docs, aliases, topk=3).orderBy("doc_id", "rank")
+
+
 def q_cc_components(spark, sf_dir):
     from rdf_converter_spark.operators.cc import connected_components
 
@@ -505,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
         "multimodal_features": q_multimodal_features,
+        "entity_linking": q_entity_linking,
         "cc_components": q_cc_components,
         "kg_web_pipeline": kg_web_pipeline,
     }
@@ -775,6 +787,36 @@ def oracle_sql() -> dict[str, str]:
               ) AS rank FROM scored
             ) WHERE rank <= 5 ORDER BY query_id, rank
         """,
+        "entity_linking": """
+            WITH toks AS (
+              SELECT doc_id, unnest({w}) AS token FROM documents
+            ), vocab AS (
+              SELECT token AS entity, md5(token) AS entity_id
+              FROM toks WHERE length(token) >= 4
+              GROUP BY token ORDER BY count(*) DESC, token ASC LIMIT 30
+            ), aliases AS (
+              SELECT entity_id, entity, entity AS alias,
+                     CAST(1.0 AS DOUBLE) AS weight FROM vocab
+              UNION ALL
+              SELECT entity_id, entity, substr(entity, 1, 4),
+                     CAST(0.5 AS DOUBLE) FROM vocab
+            ), probes AS (
+              SELECT doc_id, unnest([token, substr(token, 1, 4)]) AS probe
+              FROM toks
+            ), scored AS (
+              SELECT doc_id, entity_id, entity,
+                     round(sum(weight), 2) AS score,
+                     count(*) AS n_mentions
+              FROM probes JOIN aliases ON probe = alias
+              GROUP BY 1, 2, 3
+            )
+            SELECT doc_id, entity_id, entity, score, n_mentions, rank
+            FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, entity ASC
+              ) AS rank FROM scored
+            ) WHERE rank <= 3 ORDER BY doc_id, rank
+        """.format(w=_WORDS),
         "multimodal_features": """
             SELECT doc_id AS media_id,
                    octet_length(encode(text)) AS n_bytes,

@@ -77,6 +77,79 @@ def media_features(media: DataFrame, use_codec: bool = False) -> DataFrame:
     return media.select("media_id", "media").mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("resized", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 64, height: int = 64,
+                  use_codec: bool = False) -> DataFrame:
+    """Resize plumbing: binary in -> binary out per Arrow batch. The
+    codec slot raises (PIL absent); the deterministic fake truncates/
+    tiles the payload to width*height bytes so batch shapes, schema and
+    partitioning are real and testable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        size = width * height
+        for pdf in batches:
+            out = []
+            for blob in pdf["media"]:
+                data = bytes(blob) if blob is not None else b""
+                if use_codec:
+                    decode_image(data)
+                reps = (size // max(len(data), 1)) + 1
+                out.append((data * reps)[:size])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": [width] * len(out),
+                    "height": [height] * len(out),
+                    "resized": out,
+                }
+            )
+
+    return media.select("media_id", "media").mapInPandas(run, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_no", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, n_frames: int = 4,
+                  use_codec: bool = False) -> DataFrame:
+    """Frame sampling plumbing: one binary video -> n frame rows
+    (1:N Arrow batch fan-out, the shape a real ffmpeg probe would
+    have). Fake frames are deterministic equal-length byte slices."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                data = bytes(blob) if blob is not None else b""
+                if use_codec:
+                    decode_image(data)
+                step = max(len(data) // n_frames, 1)
+                for k in range(n_frames):
+                    ids.append(mid)
+                    nos.append(k)
+                    frames.append(data[k * step:(k + 1) * step])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_no": nos, "frame": frames}
+            )
+
+    return media.select("media_id", "media").mapInPandas(run, FRAME_SCHEMA)
+
+
 def documents_as_media(docs: DataFrame) -> DataFrame:
     """Synthesize a media table from documents: text bytes stand in
     for an encoded image payload (deterministic)."""
