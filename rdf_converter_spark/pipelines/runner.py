@@ -108,15 +108,26 @@ def run_pipeline(
     web_pages_path: str,
     work_dir: str,
     resume: bool = True,
+    route_partitions: int = 0,
 ) -> Dict[str, DataFrame]:
-    """Execute the full pipeline; returns the named output frames."""
+    """Execute the full pipeline; returns the named output frames.
+
+    ``route_partitions`` spreads the routed materialization when the
+    input arrives in fewer splits than the cluster has slots (small
+    files bin-packed by maxPartitionBytes would otherwise cap the
+    parallelism of every downstream per-kind parse); 0 = keep the
+    scan's partitioning (the right choice when the input is already a
+    well-partitioned table).
+    """
     sr = StageRunner(spark, work_dir, resume=resume)
 
-    routed = sr.stage(
-        "routed",
-        lambda: route(read_web_pages(spark, web_pages_path)),
-        partition_by=["doc_type"],
-    )
+    def build_routed() -> DataFrame:
+        r = route(read_web_pages(spark, web_pages_path))
+        if route_partitions:
+            r = r.repartition(route_partitions)
+        return r
+
+    routed = sr.stage("routed", build_routed, partition_by=["doc_type"])
 
     programs = sr.stage("parsed_ld_program",
                         lambda: ldp.parse_ld_programs(routed))
