@@ -26,7 +26,7 @@ from pyspark.sql import types as T
 
 from .. import config, mappings
 from ..operators.emit import explode_triples, triple, uref
-from ..sources.units import parse_csv_unit
+from ..sources.units import parse_csv_units_batched
 from ..terms import DCT_PUBLISHER, EB, MEMAD, RDF_TYPE, RDFS_LABEL, XSD
 from ..textkit import (
     RADIO_CHANNELS,
@@ -187,8 +187,7 @@ def _credit_structs(field: str) -> list:
     return out
 
 
-def _derive_ld_program(url, dataset, file, row_idx, payload: bytes) -> dict:
-    row = parse_csv_unit(payload)
+def _derive_ld_program(url, dataset, file, row_idx, row: pd.Series) -> dict:
     # the reference scrubs every string cell of the concatenated
     # program table (ld_converter.py:77) [Q]
     row = row.map(lambda v: ld_scrub(v) if isinstance(v, str) else v)
@@ -242,9 +241,8 @@ def _derive_ld_program(url, dataset, file, row_idx, payload: bytes) -> dict:
     return out
 
 
-def _derive_ld_segment(url, dataset, file, row_idx, payload: bytes) -> dict:
-    row = parse_csv_unit(payload)  # segment tables are NOT scrubbed
-
+def _derive_ld_segment(url, dataset, file, row_idx, row: pd.Series) -> dict:
+    # segment tables are NOT scrubbed
     out = {"url": url, "dataset": dataset, "file": file, "row": row_idx}
     out.update(_channel_fields(row["Chaine"], upper_check=False))
     code = out["channel_code"]
@@ -276,11 +274,13 @@ def _parser(derive, schema):
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            rows = parse_csv_units_batched(
+                [bytes(p) for p in pdf["payload"]]
+            )
             recs = [
-                derive(u, d, f, r, bytes(p))
-                for u, d, f, r, p in zip(
-                    pdf["url"], pdf["dataset"], pdf["file"], pdf["row"],
-                    pdf["payload"],
+                derive(u, d, f, r, row)
+                for u, d, f, r, row in zip(
+                    pdf["url"], pdf["dataset"], pdf["file"], pdf["row"], rows
                 )
             ]
             yield pd.DataFrame(recs, columns=cols)

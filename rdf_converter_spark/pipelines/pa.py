@@ -28,7 +28,7 @@ from pyspark.sql import types as T
 
 from .. import config, mappings
 from ..operators.emit import explode_triples, triple, uref
-from ..sources.units import parse_csv_unit
+from ..sources.units import parse_csv_units_batched
 from ..terms import DCT_PUBLISHER, EB, MEMAD, RDF_TYPE, RDFS_LABEL, SKOS_NOTE, XSD
 from ..textkit import (
     clean_string_pa,
@@ -112,8 +112,7 @@ PA_SCHEMA = T.StructType(
 )
 
 
-def _derive_pa(url, dataset, file, row_idx, payload: bytes) -> dict:
-    row = parse_csv_unit(payload)
+def _derive_pa(url, dataset, file, row_idx, row: pd.Series) -> dict:
     ch = mappings.ina_channel2code()
 
     channel_name = row["Canal de diffusion"]
@@ -270,11 +269,13 @@ def parse_pa(routed: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            rows = parse_csv_units_batched(
+                [bytes(p) for p in pdf["payload"]]
+            )
             recs = [
-                _derive_pa(u, d, f, r, bytes(p))
-                for u, d, f, r, p in zip(
-                    pdf["url"], pdf["dataset"], pdf["file"], pdf["row"],
-                    pdf["payload"],
+                _derive_pa(u, d, f, r, row)
+                for u, d, f, r, row in zip(
+                    pdf["url"], pdf["dataset"], pdf["file"], pdf["row"], rows
                 )
             ]
             yield pd.DataFrame(recs, columns=cols)

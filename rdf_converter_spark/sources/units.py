@@ -40,6 +40,36 @@ def parse_csv_unit(payload: bytes) -> pd.Series:
     return df.iloc[0]
 
 
+def parse_csv_units_batched(payloads):
+    """Batched variant: one ``pd.read_csv`` per distinct header in the
+    batch instead of one per unit (10x+ fewer parser setups — the
+    dominant Python cost of the CSV kinds). Yields pandas rows in the
+    input order.
+
+    Equivalence: string cells are unaffected by batching; numeric
+    dtype inference is per-(batch, header) group, which matches the
+    per-unit result under the fixture/ingest contract that numeric
+    columns are always populated (and is in fact closer to the
+    reference's whole-file inference, ld_converter.py:68).
+    """
+    groups = {}  # header bytes -> [(position, row bytes)]
+    order = []
+    for pos, payload in enumerate(payloads):
+        nl = payload.index(b"\n") + 1
+        header, row = payload[:nl], payload[nl:]
+        groups.setdefault(header, []).append((pos, row))
+        order.append(None)
+    for header, items in groups.items():
+        buf = header + b"".join(row for _, row in items)
+        df = pd.read_csv(
+            io.BytesIO(buf), encoding="latin-1", delimiter=";",
+            low_memory=False,
+        ).fillna("")
+        for (pos, _), (_, row) in zip(items, df.iterrows()):
+            order[pos] = row
+    return order
+
+
 def _meta(root: ET.Element, name: str) -> Optional[str]:
     node = root.find("./MAObject[1]/Meta/[@name='%s']" % name)
     return node.text if node is not None else None
