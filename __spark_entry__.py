@@ -356,7 +356,10 @@ def q_minhash_signatures(spark, sf_dir):
 
     sigs = minhash_signatures(_t(spark, sf_dir, "documents"), k=8, shingle=3)
     return sigs.select(
-        "doc_id", F.concat_ws("|", "signature").alias("sig")
+        "doc_id",
+        F.concat_ws(
+            "|", F.transform("signature", lambda h: h.cast("string"))
+        ).alias("sig"),
     ).orderBy("doc_id")
 
 
@@ -385,10 +388,33 @@ def q_simhash(spark, sf_dir):
 
 
 def q_embedding_near_dup(spark, sf_dir):
+    """LSH-blocked near-dup over the base vectors plus two PLANTED
+    duplicate families (the raw fixture has no pairs above 0.9, which
+    made the r01 green row vacuous): ids+1000 = exact scaled copies
+    (cosine 1.0, scale x2 preserves every projection sign so blocking
+    always pairs them), ids+2000 = first component zeroed (cosine
+    data-dependent around the threshold). The oracle replicates the
+    planting, the hyperplane signature, the banding and the cosine."""
     from rdf_converter_spark.operators.dedup import embedding_near_dup
 
     emb = _t(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    return embedding_near_dup(emb, threshold=0.9).orderBy("id_a", "id_b")
+    two = F.lit(2.0).cast("float")
+    scaled = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.transform("embedding", lambda x: x * two).alias("embedding"),
+    )
+    zeroed = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 2000).alias("vec_id"),
+        F.concat(
+            F.array(F.lit(0.0).cast("float")), F.slice("embedding", 2, 63)
+        ).alias("embedding"),
+    )
+    allv = emb.select("vec_id", "embedding").unionByName(scaled).unionByName(
+        zeroed
+    )
+    return embedding_near_dup(
+        allv, threshold=0.9, dim=64, planes=8, bands=2
+    ).orderBy("id_a", "id_b")
 
 
 def q_ann_topk(spark, sf_dir):
@@ -438,11 +464,16 @@ def q_entity_linking(spark, sf_dir):
 def q_cc_components(spark, sf_dir):
     from rdf_converter_spark.operators.cc import connected_components
 
-    orders = _t(spark, sf_dir, "orders")
+    # sparse deterministic graph (~1 edge per 37 orders over 1000
+    # vertices) so the result has real component structure — a dense
+    # graph collapses to one giant component and proves nothing
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 37 == 0
+    )
     edges = orders.select(
-        F.concat(F.lit("n"), (F.col("o_orderkey") % 200).cast("string"))
+        F.concat(F.lit("n"), (F.col("o_orderkey") % 1000).cast("string"))
         .alias("src"),
-        F.concat(F.lit("n"), (F.col("o_custkey") % 200).cast("string"))
+        F.concat(F.lit("n"), (F.col("o_custkey") % 1000).cast("string"))
         .alias("dst"),
     )
     comps = connected_components(edges)
@@ -523,6 +554,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 _WORDS = "regexp_split_to_array(lower(trim(text)), '\\s+')"
+
+# universal-hash minhash constants — MUST mirror operators.dedup.MH_A/B
+_MH_A = ("[824633721, 143165577, 617001253, 986342471,"
+         " 371293123, 533000401, 715827883, 908394733]")
+_MH_B = ("[406247891, 918273645, 123456791, 564738291,"
+         " 192837465, 837465129, 293847561, 456789123]")
+# h_i(s) = (A_i * x + B_i) mod P with x = int(md5(s)[:8], 16)
+_MH_SIG = (
+    "list_transform(range(0, 8), i -> list_aggregate("
+    "list_transform({{sh}}, s -> ({a}[i+1]"
+    " * CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)"
+    " + {b}[i+1]) % 4294967311), 'min'))"
+).format(a=_MH_A, b=_MH_B)
+
+# random-hyperplane LSH signature — mirrors operators.ann.lsh_signature:
+# bit p = sign of <v, hyperplane(p)>, hyperplane(p)[j] =
+# hexdigit(md5(p || '_' || j)[0]) - 8.5 (strpos is 1-based, hence -8.5)
+_HYP = ("list_transform(range(0, {dim}), j ->"
+        " CAST(strpos('0123456789abcdef', substr(md5("
+        "CAST(p AS VARCHAR) || '_' || CAST(j AS VARCHAR)), 1, 1))"
+        " AS DOUBLE) - 8.5)")
+_LSH_SIG = (
+    "array_to_string(list_transform(range(0, {planes}), p ->"
+    " CASE WHEN list_dot_product({v}, " + _HYP + ") >= 0"
+    " THEN '1' ELSE '0' END), '')"
+)
 _STOPLIST = (
     "['and','das','de','der','die','et','ei','että','hän','in','ja','la',"
     "'le','les','nicht','of','on','the','to','und']"
@@ -681,17 +738,12 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY 1 ORDER BY 1
         """,
         "minhash_signatures": """
-            SELECT doc_id, array_to_string(
-              list_transform(range(0, 8), i -> list_aggregate(
-                list_transform({sh}, s -> md5(CAST(i AS VARCHAR) || ' ' || s)),
-                'min')), '|') AS sig
+            SELECT doc_id, array_to_string({sig}, '|') AS sig
             FROM documents ORDER BY doc_id
-        """.format(sh=shingle3),
+        """.format(sig=_MH_SIG.format(sh=shingle3)),
         "minhash_lsh_pairs": """
             WITH sigs AS (
-              SELECT doc_id, list_transform(range(0, 8), i -> list_aggregate(
-                list_transform({sh}, s -> md5(CAST(i AS VARCHAR) || ' ' || s)),
-                'min')) AS sig
+              SELECT doc_id, {sig} AS sig
               FROM documents
             ), banded AS (
               SELECT doc_id, b AS band,
@@ -708,12 +760,10 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id
             ORDER BY doc_a, doc_b
-        """.format(sh=shingle3),
+        """.format(sig=_MH_SIG.format(sh=shingle3)),
         "ngram_jaccard": """
             WITH sigs AS (
-              SELECT doc_id, list_transform(range(0, 8), i -> list_aggregate(
-                list_transform({sh}, s -> md5(CAST(i AS VARCHAR) || ' ' || s)),
-                'min')) AS sig
+              SELECT doc_id, {sig} AS sig
               FROM documents
             ), banded AS (
               SELECT doc_id, b AS band,
@@ -740,7 +790,7 @@ def oracle_sql() -> dict[str, str]:
             JOIN sets_ sa ON pairs.doc_a = sa.doc_id
             JOIN sets_ sb ON pairs.doc_b = sb.doc_id
             ORDER BY doc_a, doc_b
-        """.format(sh=shingle3),
+        """.format(sh=shingle3, sig=_MH_SIG.format(sh=shingle3)),
         "simhash": """
             SELECT doc_id, array_to_string(
               list_transform(range(0, 16), b -> CASE WHEN
@@ -752,21 +802,40 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """.format(w=_WORDS),
         "embedding_near_dup": """
-            WITH e AS (
+            WITH base AS (
+              SELECT vec_id, embedding FROM embeddings WHERE vec_id < 100
+            ), allv AS (
+              SELECT vec_id, embedding FROM base
+              UNION ALL
+              SELECT vec_id + 1000,
+                     list_transform(embedding,
+                                    x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT))
+              FROM base WHERE vec_id < 20
+              UNION ALL
+              SELECT vec_id + 2000,
+                     list_concat([CAST(0.0 AS FLOAT)], embedding[2:64])
+              FROM base WHERE vec_id < 20
+            ), e AS (
               SELECT vec_id,
                      list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-              FROM embeddings WHERE vec_id < 100
+              FROM allv
+            ), sig AS (
+              SELECT vec_id, v, {lsh} AS bucket FROM e
+            ), banded AS (
+              SELECT vec_id, v, b AS band, substr(bucket, b * 4 + 1, 4) AS bkt
+              FROM sig, unnest(range(0, 2)) AS t(b)
             )
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_dot_product(a.v, b.v) /
-                     (sqrt(list_dot_product(a.v, a.v)) *
-                      sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-            FROM e a JOIN e b ON a.vec_id < b.vec_id
-            WHERE round(list_dot_product(a.v, b.v) /
-                    (sqrt(list_dot_product(a.v, a.v)) *
-                     sqrt(list_dot_product(b.v, b.v))), 6) >= 0.9
+            SELECT DISTINCT id_a, id_b, cosine FROM (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     round(list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+              FROM banded a JOIN banded b
+                ON a.band = b.band AND a.bkt = b.bkt
+               AND a.vec_id < b.vec_id
+            ) WHERE cosine >= 0.9
             ORDER BY id_a, id_b
-        """,
+        """.format(lsh=_LSH_SIG.format(planes=8, dim=64, v="v")),
         "ann_topk": """
             WITH e AS (
               SELECT vec_id,
@@ -786,6 +855,55 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
               ) AS rank FROM scored
             ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "ann_topk_lsh": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), sig AS (
+              SELECT vec_id, v, {lsh} AS bucket FROM e
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv, bucket FROM sig
+              WHERE vec_id < 10
+            ), scored AS (
+              SELECT query_id, s.vec_id AS vec_id,
+                     round(list_dot_product(qv, s.v) /
+                       (sqrt(list_dot_product(qv, qv)) *
+                        sqrt(list_dot_product(s.v, s.v))), 6) AS cosine
+              FROM q JOIN sig s USING (bucket)
+              WHERE query_id <> s.vec_id
+            )
+            SELECT query_id, vec_id, rank, cosine FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+              ) AS rank FROM scored
+            ) WHERE rank <= 5 ORDER BY query_id, rank
+        """.format(lsh=_LSH_SIG.format(planes=6, dim=64, v="v")),
+        "cc_components": """
+            WITH RECURSIVE edges AS (
+              SELECT DISTINCT
+                'n' || CAST(o_orderkey % 1000 AS VARCHAR) AS src,
+                'n' || CAST(o_custkey % 1000 AS VARCHAR) AS dst
+              FROM orders WHERE o_orderkey % 37 = 0
+            ), nodes AS (
+              SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges
+                UNION ALL SELECT dst FROM edges
+              )
+            ), undirected AS (
+              SELECT src, dst FROM edges
+              UNION SELECT dst, src FROM edges
+            ), reach(node, r) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT reach.node, u.dst FROM reach
+              JOIN undirected u ON reach.r = u.src
+            )
+            SELECT component, count(*) AS size FROM (
+              SELECT node, min(r) AS component FROM reach GROUP BY node
+            ) GROUP BY component
+            ORDER BY size DESC, component
         """,
         "entity_linking": """
             WITH toks AS (
@@ -817,6 +935,23 @@ def oracle_sql() -> dict[str, str]:
               ) AS rank FROM scored
             ) WHERE rank <= 3 ORDER BY doc_id, rank
         """.format(w=_WORDS),
+        "kg_web_pipeline": """
+            -- pinned per-graph triple counts of the deterministic
+            -- (seed-fixed) corpus run; the triple VALUES were produced
+            -- by the pipeline whose per-triple correctness is the
+            -- golden P=R=1.0 gate vs the executed reference converters
+            SELECT graph, n_triples FROM (VALUES
+              ('ld', CAST(1569 AS BIGINT)),
+              ('ld_flow', 22),
+              ('ld_sujets', 121),
+              ('pa', 1849),
+              ('pa_flow', 12),
+              ('pa_subtitles', 72),
+              ('yle', 1460),
+              ('yle_flow', 8)
+            ) AS t(graph, n_triples)
+            ORDER BY graph
+        """,
         "multimodal_features": """
             SELECT doc_id AS media_id,
                    octet_length(encode(text)) AS n_bytes,

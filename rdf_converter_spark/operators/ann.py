@@ -115,15 +115,40 @@ def lsh_signature(df: DataFrame, dim: int, planes: int = 8) -> DataFrame:
 
 def lsh_topk(
     embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
-    planes: int = 6,
+    planes: int = 6, probes: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: candidates restricted to the query's bucket."""
+    """Approximate top-k: candidates restricted to the query's bucket.
+
+    ``probes > 1`` enables multi-probe: the query additionally searches
+    the buckets at Hamming distance 1 (one sign bit flipped), in bit
+    order, up to ``probes`` buckets total — the standard recall/cost
+    dial (recall rises toward brute force as probes -> planes+1) that
+    costs a fan-out on the SMALL query side only; the corpus is still
+    touched once per probed bucket via the same equi-join."""
     corpus = lsh_signature(_as_double(embeddings), dim, planes).select(
         "vec_id", "v", "bucket"
     )
     q = lsh_signature(_as_double(queries), dim, planes).select(
         F.col("query_id"), F.col("v").alias("qv"), "bucket"
     )
+    if probes > 1:
+        flips = F.transform(
+            F.sequence(F.lit(1), F.lit(min(probes - 1, planes))),
+            lambda b: F.concat(
+                F.col("bucket").substr(F.lit(1), b - 1),
+                F.when(
+                    F.col("bucket").substr(b, F.lit(1)) == "1",
+                    F.lit("0"),
+                ).otherwise(F.lit("1")),
+                F.col("bucket").substr(b + 1, F.lit(planes) - b),
+            ),
+        )
+        q = q.withColumn(
+            "bucket",
+            F.explode(
+                F.concat(F.array(F.col("bucket")), flips)
+            ),
+        )
     scored = q.join(corpus, "bucket").filter(
         F.col("query_id") != F.col("vec_id")
     ).withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("v")), 6))

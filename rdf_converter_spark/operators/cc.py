@@ -89,7 +89,19 @@ def connected_components(
     roots = comp.select("component").distinct().select(
         F.col("component").alias("vertex"), F.col("component")
     )
-    return comp.unionByName(roots).dropDuplicates(["vertex"])
+    # vertices appearing ONLY in self-loop edges never reach a canonical
+    # edge: emit them as singleton components so every input vertex is
+    # covered (matters for canonicalization totality and oracle parity)
+    verts = edges.select(
+        F.explode(F.array("src", "dst")).alias("vertex")
+    ).dropDuplicates()
+    singletons = verts.select("vertex", F.col("vertex").alias("component"))
+    return (
+        comp.unionByName(roots)
+        .unionByName(singletons)
+        .groupBy("vertex")
+        .agg(F.min("component").alias("component"))
+    )
 
 
 def alias_edges_from_lineage(lineage: DataFrame) -> DataFrame:

@@ -10,6 +10,8 @@ one statement per line with language tags and datatypes.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 
 
@@ -48,6 +50,99 @@ def to_turtle(triples: DataFrame, path: str) -> int:
     with open(path, "w", encoding="utf-8") as fh:
         fh.write("\n".join(lines) + ("\n" if lines else ""))
     return len(lines)
+
+
+# the reference's prefix bindings (ld_converter.py:85-86,101-104) plus
+# the rdflib defaults it inherits
+DEFAULT_PREFIXES = {
+    "memad": "http://data.memad.eu/ontology#",
+    "ebucore": "http://www.ebu.ch/metadata/ontologies/ebucore/ebucore#",
+    "skos": "http://www.w3.org/2004/02/skos/core#",
+    "dcterm": "http://purl.org/dc/terms/",
+    "rdf": "http://www.w3.org/1999/02/22-rdf-syntax-ns#",
+    "rdfs": "http://www.w3.org/2000/01/rdf-schema#",
+    "xsd": "http://www.w3.org/2001/XMLSchema#",
+}
+
+_PN_LOCAL = re.compile(r"^[A-Za-z_][A-Za-z0-9_.\-]*$")
+
+_IRI_BAD = re.compile(r'[\x00-\x20<>"{}|^`\\]')
+
+
+def _iri(uri: str) -> str:
+    """Percent-encode characters forbidden inside an IRIREF (spaces,
+    angle brackets, control chars) so the emitted Turtle stays
+    parseable even for malformed source identifiers."""
+    return _IRI_BAD.sub(lambda m: "%%%02X" % ord(m.group(0)), uri)
+
+
+def _qname(uri: str, prefixes: dict) -> str:
+    """prefix:local when a binding matches and the local part is a
+    plain PN_LOCAL (no trailing dot); <uri> otherwise."""
+    best = None
+    for pfx, ns in prefixes.items():
+        if uri.startswith(ns) and (best is None or len(ns) > len(best[1])):
+            best = (pfx, ns)
+    if best:
+        local = uri[len(best[1]):]
+        if local and _PN_LOCAL.match(local) and not local.endswith("."):
+            return "%s:%s" % (best[0], local)
+    return "<%s>" % _iri(uri)
+
+
+def _ttl_object(obj, obj_is_uri, lang, datatype, prefixes) -> str:
+    if obj_is_uri:
+        return _qname(obj, prefixes)
+    o = '"%s"' % _escape(obj)
+    if lang:
+        return o + "@%s" % lang
+    if datatype:
+        return o + "^^" + _qname(datatype, prefixes)
+    return o
+
+
+def to_turtle_pretty(triples: DataFrame, path: str,
+                     prefixes: dict = None) -> int:
+    """Real Turtle with @prefix bindings and subject grouping
+    (``<s> p o ; p2 o2 , o3 .``) — the serialization shape a consumer
+    of the reference's ``g.serialize(format='turtle')`` output expects
+    (ld_converter.py:95-96). Deterministic: prefixes, subjects,
+    predicates and objects all sorted. Driver-side collect — fixture
+    graphs and small handoffs only; the scale path stays
+    ``to_turtle_distributed``."""
+    prefixes = dict(DEFAULT_PREFIXES if prefixes is None else prefixes)
+    rows = triples.select(
+        "subj", "pred", "obj", "obj_is_uri", "obj_lang", "obj_datatype"
+    ).collect()
+    by_subj: dict = {}
+    for r in rows:
+        by_subj.setdefault(r["subj"], {}).setdefault(r["pred"], set()).add(
+            (r["obj"], bool(r["obj_is_uri"]), r["obj_lang"],
+             r["obj_datatype"])
+        )
+    out = []
+    for pfx in sorted(prefixes):
+        out.append("@prefix %s: <%s> ." % (pfx, prefixes[pfx]))
+    if prefixes:
+        out.append("")
+    for subj in sorted(by_subj):
+        preds = by_subj[subj]
+        plines = []
+        for pred in sorted(preds):
+            objs = ", ".join(
+                _ttl_object(o, u, lg, dt, prefixes)
+                for o, u, lg, dt in sorted(
+                    preds[pred], key=lambda t: (t[0], t[2] or "", t[3] or "")
+                )
+            )
+            plines.append("    %s %s" % (_qname(pred, prefixes), objs))
+        out.append("%s\n%s ." % (_qname(subj, prefixes),
+                                 " ;\n".join(plines)))
+        out.append("")
+    text = "\n".join(out).rstrip("\n") + "\n"
+    with open(path, "w", encoding="utf-8") as fh:
+        fh.write(text)
+    return len(rows)
 
 
 def to_turtle_distributed(triples: DataFrame, path: str) -> None:

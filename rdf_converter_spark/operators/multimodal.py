@@ -53,28 +53,35 @@ def _fake_features(data: bytes, dims: int = 8):
 
 
 def media_features(media: DataFrame, use_codec: bool = False) -> DataFrame:
-    """binary media -> fixed-width feature vectors via Arrow batches."""
+    """binary media -> (n_bytes, digest, feat).
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            feats, nbytes, digests = [], [], []
-            for blob in pdf["media"]:
-                data = bytes(blob) if blob is not None else b""
-                if use_codec:
-                    decode_image(data)  # NotImplementedError by design
-                nbytes.append(len(data))
-                digests.append(hashlib.md5(data).hexdigest())
-                feats.append(_fake_features(data))
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": nbytes,
-                    "digest": digests,
-                    "feat": feats,
-                }
-            )
+    ``n_bytes``/``digest`` are plain JVM expressions (``F.length``/
+    ``F.md5`` on the binary column — no Python in that path, r01 spent
+    3 s of headline running them in a per-blob loop). Only the feature
+    vector — the slot where a real codec/embedding call lives — is an
+    Arrow-batched ``pandas_udf``; because it is a separate projected
+    column (not a mapInPandas that swallows the whole row), Catalyst
+    PRUNES it away when a downstream query never selects ``feat``.
+    """
+    codec = use_codec
 
-    return media.select("media_id", "media").mapInPandas(run, FEATURE_SCHEMA)
+    @F.pandas_udf(T.ArrayType(T.FloatType()))
+    def feat_udf(blobs: pd.Series) -> pd.Series:
+        out = []
+        for blob in blobs:
+            data = bytes(blob) if blob is not None else b""
+            if codec:
+                decode_image(data)  # NotImplementedError by design
+            out.append(_fake_features(data))
+        return pd.Series(out)
+
+    blob = F.coalesce(F.col("media"), F.lit(b""))
+    return media.select(
+        "media_id",
+        F.length(blob).cast("long").alias("n_bytes"),
+        F.md5(blob).alias("digest"),
+        feat_udf(F.col("media")).alias("feat"),
+    )
 
 
 RESIZE_SCHEMA = T.StructType(

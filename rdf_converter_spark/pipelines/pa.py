@@ -289,20 +289,58 @@ def with_heure2(pa: DataFrame) -> DataFrame:
     The carry is sequential over the reference's global row order, but
     it only *involves* rows whose ``Heure de diffusion`` is empty:
     marker values are produced exclusively by such rows, and only such
-    rows consume the carry. So the single-partition ordered window runs
-    on that (tiny at corpus scale) subset and joins back — the 99%+
-    majority of rows never enter a global sort.
+    rows consume the carry. The r01 version ran one GLOBAL ordered
+    window over that subset — a single-reducer sort with no bound on
+    the subset size (VERDICT r01 #6). This version is two-level and
+    never sorts more than one file's rows in one partition:
+
+      1. within-file carry: window partitioned by (dataset, file),
+         ordered by row — fully parallel;
+      2. cross-file fix-up: ONE row per file (its last non-null
+         marker) goes through a global ordered carry — the sorted set
+         is #files, bounded by the corpus layout, not #rows — and is
+         broadcast-joined back as the seed for rows before their
+         file's first marker.
     """
     needs = pa.filter(F.col("heure_raw") == "").select(
         "dataset", "file", "row", "heure_marker"
     )
-    w = (
-        Window.orderBy("dataset", "file", "row")
+    # three consumers below (within-file carry, per-file last marker,
+    # file list) — materialize the tiny heure-empty subset ONCE so its
+    # lineage (the python PA parse when the input is not yet a
+    # materialized stage) is never re-executed per consumer
+    needs = needs.localCheckpoint(eager=True)
+    wf = (
+        Window.partitionBy("dataset", "file")
+        .orderBy("row")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    carried = needs.withColumn(
-        "heure_carried", F.last("heure_marker", ignorenulls=True).over(w)
-    ).select("dataset", "file", "row", "heure_carried")
+    within = needs.withColumn(
+        "c_in", F.last("heure_marker", ignorenulls=True).over(wf)
+    )
+    # one row per file: the last non-null marker (max (row, marker)
+    # struct over marker-bearing rows orders by row)
+    file_last = (
+        needs.filter(F.col("heure_marker").isNotNull())
+        .groupBy("dataset", "file")
+        .agg(F.max(F.struct("row", "heure_marker")).alias("s"))
+        .select("dataset", "file", F.col("s.heure_marker").alias("last_m"))
+    )
+    files = needs.select("dataset", "file").dropDuplicates()
+    wg = (
+        Window.orderBy("dataset", "file")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_by_file = (
+        files.join(file_last, ["dataset", "file"], "left")
+        .withColumn("prev_m", F.last("last_m", ignorenulls=True).over(wg))
+        .select("dataset", "file", "prev_m")
+    )
+    carried = (
+        within.join(F.broadcast(prev_by_file), ["dataset", "file"], "left")
+        .withColumn("heure_carried", F.coalesce("c_in", "prev_m"))
+        .select("dataset", "file", "row", "heure_carried")
+    )
     # carried is tiny (only heure-empty rows) — broadcast it so the
     # main PA table is never shuffled for this join
     return pa.join(F.broadcast(carried), ["dataset", "file", "row"], "left").withColumn(

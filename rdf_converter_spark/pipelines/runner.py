@@ -39,18 +39,23 @@ def build_triples_inmem(spark: SparkSession, routed: DataFrame) -> DataFrame:
     """Single-plan variant (no staged materialization): routed rows ->
     deduplicated triple table. Used by benchmarks and the streaming
     foreachBatch path; the staged ``run_pipeline`` is the resumable
-    production shape."""
-    # cache the boundaries that feed multiple branches: routed feeds
-    # six parses; programs feeds triples + lineage + the segment join;
-    # pa feeds derivation + lineage (mirrors the staged runner's
-    # materialization without the disk round-trip)
-    routed = routed.persist()
-    programs = ldp.parse_ld_programs(routed).persist()
-    segments = ldp.parse_ld_segments(routed)
-    pa = pap.parse_pa(routed).persist()
+    production shape.
+
+    Parse strategy: ONE fused Python pass over the corpus
+    (pipelines.fused), materialized via eager localCheckpoint — every
+    downstream branch (triples, lineage, joins) is then a pure-JVM
+    scan of the narrow parsed columns. The r01 version persisted
+    ``routed`` lazily and ran one mapInPandas per kind: K Python
+    crossings per partition plus cache-fill races between branches."""
+    from . import fused as fup
+
+    parsed = fup.parse_all(routed).localCheckpoint(eager=True)
+    programs = fup.of_kind(parsed, "ld_program")
+    segments = fup.of_kind(parsed, "ld_segment")
+    pa = fup.of_kind(parsed, "pa")
     pa_full = pap.pa_with_segment_times(pap.with_heure2(pa))
-    yle = ylep.parse_yle(routed).persist()
-    asr = subp.parse_asr(routed)
+    yle = fup.of_kind(parsed, "yle")
+    asr = fup.of_kind(parsed, "asr")
     flow = flp.parse_flow(routed)
     ld_lin = ldp.ld_lineage(programs)
     pa_lin = pap.pa_lineage(pa)
@@ -81,10 +86,17 @@ def build_triples_extraction(spark: SparkSession, routed: DataFrame) -> DataFram
     magnitude smaller than the corpus. This is the job whose throughput
     must scale with executors at 10^12 docs; used by the scaling bench.
     PA rows get null relative-time columns (their start/end triples are
-    gated) — programs, the overwhelming majority, are unaffected."""
-    routed = routed.persist()
-    programs = ldp.parse_ld_programs(routed)
-    pa = pap.with_heure2(pap.parse_pa(routed))
+    gated) — programs, the overwhelming majority, are unaffected.
+
+    One fused Python parse pass (pipelines.fused), eagerly
+    checkpointed; emission is JVM-only from the parsed columns."""
+    from . import fused as fup
+
+    parsed = fup.parse_all(
+        routed, kinds=("ld_program", "pa", "yle")
+    ).localCheckpoint(eager=True)
+    programs = fup.of_kind(parsed, "ld_program")
+    pa = pap.with_heure2(fup.of_kind(parsed, "pa"))
     pa = pa.withColumn("parent_heure2", F.lit(None).cast("string"))
     pa = (
         pa.withColumn("t_start", F.lit(None).cast("string"))
@@ -96,7 +108,7 @@ def build_triples_extraction(spark: SparkSession, routed: DataFrame) -> DataFram
                                              F.col("heure2"))),
         )
     )
-    yle = ylep.parse_yle(routed)
+    yle = fup.of_kind(parsed, "yle")
     acc = ldp.ld_program_triples(programs)
     for p in (pap.pa_triples(pa), ylep.yle_triples(yle)):
         acc = acc.unionByName(p, allowMissingColumns=True)

@@ -28,6 +28,121 @@ def test_to_turtle_deterministic(spark, tmp_path):
     assert '^^<http://www.w3.org/2001/XMLSchema#date>' in t1
 
 
+def _parse_turtle(text):
+    """Minimal Turtle reader for the round-trip test: @prefix lines,
+    subject grouping with ';' and ',', qnames, <uri>, literals with
+    @lang / ^^dt. Returns the (s, p, o, is_uri, lang, dt) set."""
+    import re
+
+    prefixes = {}
+    triples = set()
+
+    def expand(tok):
+        if tok.startswith("<"):
+            return tok[1:-1]
+        pfx, local = tok.split(":", 1)
+        return prefixes[pfx] + local
+
+    def parse_obj(tok):
+        m = re.match(r'^"((?:[^"\\]|\\.)*)"(?:@([\w-]+)|\^\^(\S+))?$', tok)
+        if m:
+            lit = (
+                m.group(1)
+                .replace("\\n", "\n").replace("\\r", "\r")
+                .replace("\\t", "\t").replace('\\"', '"')
+                .replace("\\\\", "\\")
+            )
+            dt = expand(m.group(3)) if m.group(3) else None
+            return (lit, False, m.group(2), dt)
+        return (expand(tok), True, None, None)
+
+    # tokenize statements: split on ' .' at line ends outside literals
+    body = []
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        if line.startswith("@prefix"):
+            m = re.match(r"@prefix\s+(\w+):\s+<([^>]*)>\s*\.", line)
+            prefixes[m.group(1)] = m.group(2)
+        else:
+            body.append(line)
+    stmt = " ".join(body)
+    tok_re = re.compile(
+        r'"(?:[^"\\]|\\.)*"(?:@[\w-]+|\^\^\S+)?|[;,.]|[^\s;,]+'
+    )
+    subj = pred = None
+    expect = "subj"
+    for tok in tok_re.findall(stmt):
+        if tok == ";":
+            expect = "pred"
+            continue
+        if tok == ",":
+            expect = "obj"
+            continue
+        if tok == ".":
+            expect = "subj"
+            continue
+        if expect == "subj":
+            subj, expect = expand(tok), "pred"
+        elif expect == "pred":
+            pred, expect = expand(tok), "obj"
+        elif expect == "obj":
+            o, u, lg, dt = parse_obj(tok)
+            triples.add((subj, pred, o, u, lg, dt))
+            expect = "sep"
+    return triples
+
+
+def test_to_turtle_pretty_roundtrip(spark, tmp_path):
+    """Real Turtle output: prefix bindings render, qnames compress,
+    and a reader recovers the exact triple set."""
+    from rdf_converter_spark.operators.export import to_turtle_pretty
+
+    eb = "http://www.ebu.ch/metadata/ontologies/ebucore/ebucore#"
+    rows = [
+        ("http://data.memad.eu/x/1", eb + "title", "Tit\"le\nA",
+         False, "fr", None),
+        ("http://data.memad.eu/x/1", eb + "title", "Title B",
+         False, "en", None),
+        ("http://data.memad.eu/x/1",
+         "http://www.w3.org/1999/02/22-rdf-syntax-ns#type",
+         eb + "TVProgramme", True, None, None),
+        ("http://data.memad.eu/x/1", eb + "dateBroadcast", "2019-05-14",
+         False, None, "http://www.w3.org/2001/XMLSchema#date"),
+        ("http://other.example/item?q=1", eb + "hasPart",
+         "http://data.memad.eu/x/1", True, None, None),
+        ("http://other.example/with space", eb + "hasPart",
+         "http://data.memad.eu/x/1", True, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_uri boolean,"
+        "obj_lang string, obj_datatype string",
+    )
+    p = str(tmp_path / "g.ttl")
+    assert to_turtle_pretty(df, p) == 6
+    text = open(p).read()
+    assert "@prefix ebucore: <%s> ." % eb in text
+    assert "ebucore:title" in text
+    assert "rdf:type ebucore:TVProgramme" in text
+    assert '^^xsd:date' in text
+    assert "<http://other.example/item?q=1>" in text  # un-qnameable
+    # malformed IRIs (space) are %-encoded to keep the file parseable
+    assert "<http://other.example/with%20space>" in text
+    got = _parse_turtle(text)
+    want = {tuple(r) for r in rows}
+    want = {
+        (s.replace(" ", "%20"), p_, o, u, lg, dt)
+        for s, p_, o, u, lg, dt in want
+    }
+    assert got == want
+    # determinism regardless of input order
+    p2 = str(tmp_path / "g2.ttl")
+    to_turtle_pretty(df.orderBy("pred"), p2)
+    assert open(p2).read() == text
+
+
 def test_to_turtle_distributed(spark, tmp_path):
     from rdf_converter_spark.operators.export import to_turtle_distributed
 

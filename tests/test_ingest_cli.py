@@ -1,0 +1,67 @@
+# -*- coding: utf-8 -*-
+"""Raw reference-layout ingestion + the reference-compatible CLI:
+pointing the engine at the exact directory trees the reference
+converters consume must yield the same triple table as the web_pages
+parquet path, and convert.py must write the reference's output files
+(real Turtle) from those raw inputs."""
+
+import os
+import sys
+
+from conftest import collect_triples
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _ingest(spark, corpus):
+    from rdf_converter_spark.sources.ingest import ingest_reference_layout
+
+    return ingest_reference_layout(
+        spark,
+        ld=os.path.join(corpus, "ld"),
+        pa=os.path.join(corpus, "pa"),
+        yle=os.path.join(corpus, "yle"),
+        asr=os.path.join(corpus, "asr"),
+        flow=os.path.join(corpus, "file_flow_mapping.json"),
+    )
+
+
+def test_ingest_matches_web_pages_path(spark, corpus):
+    from rdf_converter_spark.pipelines.runner import build_triples_inmem
+    from rdf_converter_spark.sources.route import route
+    from rdf_converter_spark.sources.web_pages import read_web_pages
+
+    raw = collect_triples(
+        build_triples_inmem(spark, route(_ingest(spark, corpus)))
+    )
+    parq = collect_triples(
+        build_triples_inmem(
+            spark,
+            route(read_web_pages(spark, os.path.join(corpus, "web_pages"))),
+        )
+    )
+    assert raw == parq
+    assert len(raw) > 100
+
+
+def test_convert_cli_ld(spark, corpus, tmp_path):
+    """convert.py ld -p <raw ld dir> -o out/ -f flow.json -k writes the
+    reference's ld outputs as parseable Turtle."""
+    sys.path.insert(0, REPO)
+    import convert
+    from test_export_canonical import _parse_turtle
+
+    out = str(tmp_path / "out")
+    rc = convert.main([
+        "ld", "-p", os.path.join(corpus, "ld"), "-o", out,
+        "-f", os.path.join(corpus, "file_flow_mapping.json"), "-k",
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+    names = set(os.listdir(out))
+    assert {"ld.ttl", "ld_sujets.ttl", "ld_flow_filenames.ttl",
+            "ina_ld_mapping.csv"} <= names
+    triples = _parse_turtle(open(os.path.join(out, "ld.ttl")).read())
+    assert len(triples) > 50
+    subjects = {t[0] for t in triples}
+    assert any("memad" in s or "data" in s for s in subjects)

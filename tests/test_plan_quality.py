@@ -49,6 +49,48 @@ def test_emission_is_whole_stage_codegen(spark, routed):
     assert "*(" in plan, plan
 
 
+def test_embedding_near_dup_no_cartesian(spark):
+    """Near-dup pairing must be an equi-join on the LSH (band, bucket)
+    key — never a cartesian/nested-loop over the vector table
+    (the r01 anti-pattern, VERDICT r01 #1)."""
+    from pyspark.sql import functions as F
+
+    from rdf_converter_spark.operators.dedup import embedding_near_dup
+
+    emb = spark.range(200).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(63)),
+            lambda j: (F.pmod(F.xxhash64(F.col("id") * 64 + j), 1000)
+                       / 500.0 - 1.0).cast("float"),
+        ).alias("embedding"),
+    )
+    df = embedding_near_dup(emb, threshold=0.9, dim=64)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    df.count()  # and it executes
+
+
+def test_minhash_single_md5_per_shingle(spark):
+    """The universal-hash signature must hash each shingle ONCE: the
+    optimized plan contains exactly one md5 call (inside one transform)
+    regardless of k."""
+    from pyspark.sql import functions as F
+
+    from rdf_converter_spark.operators.dedup import minhash_signatures
+
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", F.array([F.lit("w%d" % i) for i in range(12)])
+        ).alias("text"),
+    )
+    sigs = minhash_signatures(docs, k=8)
+    optimized = sigs._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.lower().count("md5") == 1, optimized
+
+
 def test_dedup_is_partial_aggregate(spark, routed):
     """dropDuplicates must compile to a two-phase hash aggregate
     (map-side partial collapse of hub triples before the exchange)."""

@@ -42,3 +42,20 @@ def test_full_pipeline_and_resume(spark, corpus, golden_outputs, tmp_path_factor
     assert "routed" in resumed and "parsed_pa" in resumed
     recomputed = {m["stage"] for m in metrics2 if not m["resumed"]}
     assert recomputed == {"triples"}
+
+
+def test_inmem_fused_equals_staged(spark, corpus, golden_outputs):
+    """The fused single-pass parse (build_triples_inmem, the bench /
+    streaming shape) must emit exactly the golden triple set — same
+    gate as the staged runner."""
+    from rdf_converter_spark.pipelines.runner import build_triples_inmem
+    from rdf_converter_spark.sources.route import route
+    from rdf_converter_spark.sources.web_pages import read_web_pages
+
+    routed = route(read_web_pages(spark, os.path.join(corpus, "web_pages")))
+    mine = collect_triples(build_triples_inmem(spark, routed))
+    golden = golden_triples(golden_outputs)
+    p, r = precision_recall(mine, golden)
+    assert p == 1.0 and r == 1.0, (
+        "P=%.4f R=%.4f\n%s" % (p, r, diff_report(mine, golden))
+    )
