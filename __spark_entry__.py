@@ -439,6 +439,18 @@ def q_ann_topk_lsh(spark, sf_dir):
     )
 
 
+def q_ann_topk_ivf(spark, sf_dir):
+    from rdf_converter_spark.operators.ann import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(emb, queries, dim=64, k=5, n_cells=16, nprobe=2).orderBy(
+        "query_id", "rank"
+    )
+
+
 def q_multimodal_features(spark, sf_dir):
     from rdf_converter_spark.operators.multimodal import (
         documents_as_media, media_features,
@@ -546,6 +558,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk": q_ann_topk,
         "ann_topk_lsh": q_ann_topk_lsh,
+        "ann_topk_ivf": q_ann_topk_ivf,
         "multimodal_features": q_multimodal_features,
         "entity_linking": q_entity_linking,
         "cc_components": q_cc_components,
@@ -880,6 +893,49 @@ def oracle_sql() -> dict[str, str]:
               ) AS rank FROM scored
             ) WHERE rank <= 5 ORDER BY query_id, rank
         """.format(lsh=_LSH_SIG.format(planes=6, dim=64, v="v")),
+        "ann_topk_ivf": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), cents AS (
+              SELECT vec_id AS cell, v AS cv FROM e ORDER BY vec_id LIMIT 16
+            ), assigned AS (
+              SELECT vec_id, v, cell FROM (
+                SELECT e.vec_id, e.v, c.cell, row_number() OVER (
+                  PARTITION BY e.vec_id ORDER BY
+                    round(list_dot_product(e.v, c.cv) /
+                      (sqrt(list_dot_product(e.v, e.v)) *
+                       sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                    c.cell ASC) AS rn
+                FROM e CROSS JOIN cents c
+              ) WHERE rn = 1
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+            ), probes AS (
+              SELECT query_id, qv, cell FROM (
+                SELECT q.query_id, q.qv, c.cell, row_number() OVER (
+                  PARTITION BY q.query_id ORDER BY
+                    round(list_dot_product(q.qv, c.cv) /
+                      (sqrt(list_dot_product(q.qv, q.qv)) *
+                       sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+                    c.cell ASC) AS rn
+                FROM q CROSS JOIN cents c
+              ) WHERE rn <= 2
+            ), scored AS (
+              SELECT query_id, a.vec_id AS vec_id,
+                     round(list_dot_product(qv, a.v) /
+                       (sqrt(list_dot_product(qv, qv)) *
+                        sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+              FROM probes JOIN assigned a USING (cell)
+              WHERE query_id <> a.vec_id
+            )
+            SELECT query_id, vec_id, rank, cosine FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+              ) AS rank FROM scored
+            ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
         "cc_components": """
             WITH RECURSIVE edges AS (
               SELECT DISTINCT

@@ -35,11 +35,15 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # core oversubscription instead of the engine's scaling (each Python-
 # UDF task occupies a JVM thread AND a Python process; local[32] on a
 # 32-core host runs ~48 runnable threads). local[2] -> local[8] is the
-# sandbox proxy for N -> 4N executors with dedicated cores.
-LOW_CPUS = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "4"))
+# sandbox proxy for N -> 4N executors with dedicated cores: it leaves
+# 24 cpus idle at the high level (minimal frequency droop) and gives
+# the low level 4x more parallel work per core, amortizing the fixed
+# per-job driver costs that would otherwise cap the measurable ratio.
+LOW_CPUS = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "2"))
 HIGH_CPUS = 4 * LOW_CPUS
 REPLICATION = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "48"))
 BENCH_LD = int(os.environ.get("SPARK_GRAFT_BENCH_LD", "3000"))
+ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
 
 HEADLINE = [
     "kg_tpch_triples",
@@ -112,43 +116,44 @@ def bench_corpus() -> str:
     return marker
 
 
-def run_kg_pipeline(n_cores: int, corpus: str, runs: int = 2):
-    """Full pipeline at one parallelism level; returns metrics dict."""
+def run_kg_pipeline(n_cores: int, corpus: str, runs: int = 1):
+    """Full volume-path job at one parallelism level; returns metrics.
+
+    Methodology (r02): ONE timed run per FRESH JVM — intra-JVM state
+    (heap garbage, python worker pools, accumulated shuffle files)
+    made consecutive same-process runs drift by 2x in r01's run log.
+    The timed window covers plan construction + all jobs of the fresh
+    plan (the honest whole-job wall); the warmup below compiles the
+    identical codegen so the window isn't measuring Janino.
+    """
     from pyspark.sql import functions as F
 
+    from rdf_converter_spark.pipelines.runner import build_triples_extraction
     from rdf_converter_spark.sources.route import route
     from rdf_converter_spark.sources.web_pages import read_web_pages
 
     spark = make_spark(n_cores, adaptive=False)
     try:
-        web = read_web_pages(spark, corpus)
-        n_pages = web.count()  # warm input + JVM, outside timed window
-        if REPLICATION > 1:
-            rep = spark.range(REPLICATION).select(
-                F.col("id").alias("_rep")
-            )
-            web = web.crossJoin(rep).withColumn(
-                "url",
-                F.concat("url", F.lit("?rep="), F.col("_rep").cast("string")),
-            ).drop("_rep")
-            n_pages *= REPLICATION
+        n_pages = read_web_pages(spark, corpus).count() * max(REPLICATION, 1)
 
-        # Per run: fresh plan + full execution timed together (the
-        # honest whole-job number); a FRESH plan per run prevents
-        # shuffle-stage reuse from faking the second execution;
-        # best-of-two tames local-mode noise. The scaling job is the
-        # VOLUME path (parse -> emit -> dedup): the side branches join
-        # against lineage tables ~1000x smaller than the corpus and
-        # are benchmarked via the full run_pipeline elsewhere.
-        from rdf_converter_spark.pipelines.runner import (
-            build_triples_extraction,
-        )
+        def plan():
+            web = read_web_pages(spark, corpus)
+            if REPLICATION > 1:
+                rep = spark.range(REPLICATION).select(
+                    F.col("id").alias("_rep")
+                )
+                web = web.crossJoin(rep).withColumn(
+                    "url",
+                    F.concat("url", F.lit("?rep="),
+                             F.col("_rep").cast("string")),
+                ).drop("_rep")
+            return build_triples_extraction(spark, route(web))
 
         # warm python workers (pyspark+pandas imports), codegen and
-        # shuffle paths on a small slice, OUTSIDE the timed window
-        build_triples_extraction(
-            spark, route(web.limit(2000))
-        ).count()
+        # shuffle paths on a small slice spread to every core,
+        # OUTSIDE the timed window
+        warm = read_web_pages(spark, corpus).repartition(2 * n_cores)
+        build_triples_extraction(spark, route(warm)).count()
         spark.catalog.clearCache()
 
         secs = float("inf")
@@ -156,9 +161,7 @@ def run_kg_pipeline(n_cores: int, corpus: str, runs: int = 2):
         for _ in range(runs):
             spark.catalog.clearCache()
             t0 = time.time()
-            routed = route(web)
-            triples = build_triples_extraction(spark, routed)
-            n_triples = triples.count()
+            n_triples = plan().count()
             secs = min(secs, time.time() - t0)
         return {
             "cores": n_cores,
@@ -247,20 +250,25 @@ def main():
     # -- section 2: KG pipeline at two parallelism levels -----------------
     corpus = bench_corpus()
     # INTERLEAVED rounds: host throughput drifts over minutes (shared
-    # sandbox), so pairing each low run with an adjacent high run and
-    # taking the MEDIAN ratio cancels slow-host periods that would
-    # otherwise bias a sequential best-of-N measurement
-    lows, highs = [], []
-    for _ in range(3):
+    # sandbox), so pair each low run with an adjacent high run and take
+    # the MEDIAN of the per-pair ratios — a slow-host window hits both
+    # members of its pair and cancels, where per-level best-of-N can
+    # pair a lucky low with an unlucky high (r01's 0.458-1.319 spread)
+    lows, highs, effs = [], [], []
+    for i in range(ROUNDS):
+        # settle: the query section (and the previous pair) saturated
+        # the host; frequency/thermal state should be comparable at
+        # the start of every pair
+        time.sleep(8)
         lows.append(run_level_subprocess(LOW_CPUS, corpus, runs=1))
         highs.append(run_level_subprocess(HIGH_CPUS, corpus, runs=1))
-    # per-level best (min wall) — the standard capability estimate;
-    # interleaving means both levels sample the same noise windows
+        effs.append(
+            (highs[-1]["pages_per_sec"] / lows[-1]["pages_per_sec"]) / 4.0
+        )
+    effs.sort()
+    efficiency = round(effs[len(effs) // 2], 3)
     low = min(lows, key=lambda r: r["seconds"])
     high = min(highs, key=lambda r: r["seconds"])
-    efficiency = round(
-        (high["pages_per_sec"] / low["pages_per_sec"]) / 4.0, 3
-    )
     peak = run_level_subprocess(CPUS, corpus, runs=1, pin=False,
                                 replication=max(REPLICATION // 4, 1))
 
@@ -277,6 +285,7 @@ def main():
             "high_cores": HIGH_CPUS,
             "factor": 4.0,
             "efficiency": efficiency,
+            "samples": [round(e, 3) for e in effs],
         },
         "triples_per_sec": peak["triples_per_sec"],
         "pages_per_sec": peak["pages_per_sec"],

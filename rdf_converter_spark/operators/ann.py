@@ -54,6 +54,67 @@ def brute_force_topk(
     )
 
 
+def ivf_topk(
+    embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+    n_cells: int = 16, nprobe: int = 2,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: the second classic ANN
+    scale path next to hyperplane LSH.
+
+    Coarse quantizer: the first ``n_cells`` corpus vectors (by vec_id)
+    act as centroids — deterministic and reproducible in any engine
+    (a k-means fit would be neither), while still data-derived so
+    cells follow the corpus distribution. Every corpus vector is
+    assigned to its nearest centroid (one broadcast join against
+    ``n_cells`` rows + a rank-1 window — no shuffle of the corpus
+    beyond the window partitioning); a query probes its ``nprobe``
+    nearest cells and scores only those cells' members. Candidate
+    volume ~ nprobe/n_cells of the corpus per query.
+    """
+    corpus = _as_double(embeddings).select("vec_id", "v")
+    cents = (
+        corpus.orderBy("vec_id").limit(n_cells)
+        .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    )
+    sim = F.round(_cosine(F.col("v"), F.col("cv")), 6)
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cell").asc()
+    )
+    assigned = (
+        corpus.crossJoin(F.broadcast(cents))
+        .withColumn("csim", sim)
+        .withColumn("crank", F.row_number().over(w_assign))
+        .filter(F.col("crank") == 1)
+        .select("vec_id", "v", "cell")
+    )
+    q = _as_double(queries).select(
+        F.col("query_id"), F.col("v").alias("qv")
+    )
+    qsim = F.round(_cosine(F.col("qv"), F.col("cv")), 6)
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("qsim").desc(), F.col("cell").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .withColumn("qsim", qsim)
+        .withColumn("prank", F.row_number().over(w_probe))
+        .filter(F.col("prank") <= nprobe)
+        .select("query_id", "qv", "cell")
+    )
+    scored = probes.join(assigned, "cell").filter(
+        F.col("query_id") != F.col("vec_id")
+    ).withColumn("cosine", F.round(_cosine(F.col("qv"), F.col("v")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id",
+                F.col("rank").cast("long").alias("rank"), "cosine")
+    )
+
+
 def _hyperplane(dim: int, plane: int):
     """Deterministic pseudo-random hyperplane: component j of plane p =
     (md5-derived digit) - 7.5, reproducible in any engine."""
