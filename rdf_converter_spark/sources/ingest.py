@@ -69,34 +69,37 @@ def _page(kind: str, dataset: str, fname: str, row: int,
     }
 
 
-def _file_pages(path: str, data: bytes) -> List[dict]:
-    """Dispatch one raw file to its page builder by layout position."""
-    parts = path.replace("\\", "/").split("/")
-    fname = parts[-1]
-    if fname == "file_flow_mapping.json":
+def _file_pages(tree: str, root: str, path: str, data: bytes) -> List[dict]:
+    """Dispatch one raw file to its page builder. ``tree`` names WHICH
+    input argument the file came from (ld/pa/yle/asr/flow) — never
+    guessed from directory names, so ``-p /data/legal_deposit`` works.
+    ``dataset`` is the first path component under the given root."""
+    rel = path.replace("\\", "/")
+    root = root.replace("\\", "/").rstrip("/")
+    if rel.startswith(root):
+        rel = rel[len(root):].lstrip("/")
+    if not rel:  # the tree argument pointed at this very file
+        rel = root.rsplit("/", 1)[-1]
+    comps = rel.split("/")
+    fname = comps[-1]
+    dataset = comps[0] if len(comps) > 1 else ""
+    if tree == "flow":
+        if not fname.endswith(".json"):
+            return []
         entries = json.loads(data.decode("utf-8"))
         return [
             _page("flow", "", fname, n,
                   json.dumps(obj, ensure_ascii=False).encode("utf-8"))
             for n, obj in enumerate(entries)
         ]
-    kind_dir = None
-    for k in ("ld", "pa", "yle", "asr"):
-        if k in parts[:-1]:
-            kind_dir = k
-            idx = len(parts) - 1 - parts[::-1].index(k)
-            break
-    if kind_dir is None:
-        return []
-    dataset = parts[idx + 1] if len(parts) - idx > 2 else ""
-    if kind_dir == "ld" and fname.endswith(".csv"):
+    if tree == "ld" and fname.endswith(".csv"):
         kind = "ld_segment" if fname.startswith("sujets") else "ld_program"
         return _csv_pages(kind, dataset, fname, data)
-    if kind_dir == "pa" and fname.endswith(".csv"):
+    if tree == "pa" and fname.endswith(".csv"):
         return _csv_pages("pa", dataset, fname, data)
-    if kind_dir == "yle" and fname.endswith(".xml"):
+    if tree == "yle" and fname.endswith(".xml"):
         return [_page("yle", dataset, fname, 0, data)]
-    if kind_dir == "asr" and fname.endswith(".xml"):
+    if tree == "asr" and fname.endswith(".xml"):
         return [_page("asr", "", fname, 0, data)]
     return []
 
@@ -110,23 +113,38 @@ def ingest_reference_layout(
     flow: Optional[str] = None,
 ) -> DataFrame:
     """Read raw reference-layout trees into a ``web_pages`` frame."""
-    paths = [p for p in (ld, pa, yle, asr, flow) if p]
-    if not paths:
+    from pyspark.sql import functions as F
+
+    trees = [(t, p) for t, p in
+             (("ld", ld), ("pa", pa), ("yle", yle), ("asr", asr),
+              ("flow", flow)) if p]
+    if not trees:
         raise ValueError("no input paths")
-    files = (
-        spark.read.format("binaryFile")
-        .option("recursiveFileLookup", "true")
-        .load(paths)
-        .select("path", "content")
-    )
+    # binaryFile yields absolute file: URIs; normalize roots to match
+    roots = {t: os.path.abspath(p) for t, p in trees}
+    frames = []
+    for tree, path in trees:
+        frames.append(
+            spark.read.format("binaryFile")
+            .option("recursiveFileLookup", "true")
+            .load(path)
+            .select(F.lit(tree).alias("tree"), "path", "content")
+        )
+    files = frames[0]
+    for f in frames[1:]:
+        files = files.unionByName(f)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         cols = ["url", "warc_ts", "html", "text", "lang"]
         for pdf in batches:
             out = []
-            for path, content in zip(pdf["path"], pdf["content"]):
+            for tree, path, content in zip(
+                pdf["tree"], pdf["path"], pdf["content"]
+            ):
                 rel = path[len("file:"):] if path.startswith("file:") else path
-                out.extend(_file_pages(rel, bytes(content)))
+                out.extend(
+                    _file_pages(tree, roots[tree], rel, bytes(content))
+                )
             yield pd.DataFrame(out, columns=cols)
 
     return files.mapInPandas(run, WEB_PAGES_SCHEMA)

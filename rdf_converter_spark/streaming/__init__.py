@@ -1,1 +1,2 @@
-"""Structured Streaming: incremental triple extraction."""
+"""Structured Streaming: incremental triple extraction, watermarked
+windows, stateful sessionization."""

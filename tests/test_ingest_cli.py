@@ -44,6 +44,24 @@ def test_ingest_matches_web_pages_path(spark, corpus):
     assert len(raw) > 100
 
 
+def test_ingest_dispatch_is_by_argument_not_dirname(spark, corpus, tmp_path):
+    """A user's tree need not be named ld/: dispatch must come from
+    WHICH argument the path was passed as."""
+    from rdf_converter_spark.sources.ingest import ingest_reference_layout
+
+    alias = str(tmp_path / "legal_deposit")
+    os.symlink(os.path.join(corpus, "ld"), alias)
+    web = ingest_reference_layout(spark, ld=alias)
+    kinds = {
+        r["url"].split("/")[3] for r in web.select("url").limit(500).collect()
+    }
+    assert kinds <= {"ld_program", "ld_segment"} and kinds
+    # dataset component survives the rename
+    assert web.count() == ingest_reference_layout(
+        spark, ld=os.path.join(corpus, "ld")
+    ).count()
+
+
 def test_convert_cli_ld(spark, corpus, tmp_path):
     """convert.py ld -p <raw ld dir> -o out/ -f flow.json -k writes the
     reference's ld outputs as parseable Turtle."""

@@ -91,6 +91,34 @@ def test_minhash_single_md5_per_shingle(spark):
     assert optimized.lower().count("md5") == 1, optimized
 
 
+def test_minhash_xxhash64_prod_path(spark):
+    """The JVM-native xxhash64 variant (production path, not
+    oracle-reproducible) must run and must pair exact duplicates —
+    identical texts have identical signatures under ANY hash family."""
+    from pyspark.sql import functions as F
+
+    from rdf_converter_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.sequence(F.lit(0), F.lit(11)),
+                lambda i: F.concat(
+                    F.lit("w"), ((F.col("id") % 20) * 100 + i).cast("string")
+                ),
+            ),
+        ).alias("text"),
+    )  # ids i and i+20 are exact duplicate texts
+    for fn in ("universal", "xxhash64"):
+        pairs = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(docs, hash_fn=fn).collect()
+        }
+        assert all((i, i + 20) in pairs for i in range(20)), (fn, pairs)
+
+
 def test_media_features_prunes_python_when_feat_unused(spark):
     """n_bytes/digest are JVM expressions; the feature pandas_udf is a
     separate projected column, so a query that never selects ``feat``
