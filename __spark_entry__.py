@@ -496,6 +496,36 @@ def q_cc_components(spark, sf_dir):
     )
 
 
+def q_windowed_counts(spark, sf_dir):
+    """Batch twin of the watermarked streaming window aggregation
+    (streaming/windows.py) — stream==batch equivalence is pytest's
+    gate; this row makes the operator driver-checkable. Timestamps
+    exported as epoch seconds (engine-neutral hashing)."""
+    from rdf_converter_spark.streaming.windows import windowed_event_counts
+
+    out = windowed_event_counts(_t(spark, sf_dir, "events"),
+                                window="6 hours")
+    return out.select(
+        F.col("win_start").cast("timestamp").cast("long").alias("start_s"),
+        F.col("win_end").cast("timestamp").cast("long").alias("end_s"),
+        "event_type", "n", "total",
+    ).orderBy("start_s", "event_type")
+
+
+def q_sessionize(spark, sf_dir):
+    """Batch twin of the applyInPandasWithState gap sessionizer."""
+    from rdf_converter_spark.streaming.windows import sessionize
+
+    out = sessionize(_t(spark, sf_dir, "events"), gap_seconds=3600)
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp").cast("long")
+        .alias("start_s"),
+        F.col("session_end").cast("timestamp").cast("long").alias("end_s"),
+        "n_events",
+    ).orderBy("user_id", "start_s")
+
+
 def kg_web_pipeline(spark, sf_dir):
     """Full web_pages KG pipeline on a deterministic generated corpus
     (rows-only check: correctness is pytest's golden-equality gate)."""
@@ -562,6 +592,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "entity_linking": q_entity_linking,
         "cc_components": q_cc_components,
+        "windowed_counts": q_windowed_counts,
+        "sessionize": q_sessionize,
         "kg_web_pipeline": kg_web_pipeline,
     }
 
@@ -991,6 +1023,37 @@ def oracle_sql() -> dict[str, str]:
               ) AS rank FROM scored
             ) WHERE rank <= 3 ORDER BY doc_id, rank
         """.format(w=_WORDS),
+        "windowed_counts": """
+            SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
+                     AS start_s,
+                   CAST(floor(epoch(ts) / 21600) * 21600 + 21600 AS BIGINT)
+                     AS end_s,
+                   event_type, count(*) AS n,
+                   round(sum(value), 6) AS total
+            FROM events
+            GROUP BY 1, 2, 3 ORDER BY start_s, event_type
+        """,
+        "sessionize": """
+            WITH marked AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 3600
+                          THEN 1 ELSE 0 END AS new_s
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, ts, sum(new_s) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS UNBOUNDED PRECEDING) AS sid
+              FROM marked
+            )
+            SELECT user_id,
+                   CAST(floor(epoch(min(ts))) AS BIGINT) AS start_s,
+                   CAST(floor(epoch(max(ts))) AS BIGINT) AS end_s,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, sid
+            ORDER BY user_id, start_s
+        """,
         "kg_web_pipeline": """
             -- pinned per-graph triple counts of the deterministic
             -- (seed-fixed) corpus run; the triple VALUES were produced

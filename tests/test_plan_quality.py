@@ -91,6 +91,50 @@ def test_minhash_single_md5_per_shingle(spark):
     assert optimized.lower().count("md5") == 1, optimized
 
 
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join (north_star: 'skewed predicates and hub entities
+    ... AQE skew-join hints') must actually fire: a join whose probe
+    side is 90% one hub key compiles, post-execution, to a
+    SortMergeJoin marked skew=true with the hub partition split."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin"
+                 ".skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        fact = spark.range(200_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("payload-"), F.col("id").cast("string"))
+            .alias("payload"),
+        )
+        dim = spark.range(20_001).select(
+            F.col("id").alias("k"),
+            F.concat(F.lit("dim-"), F.col("id").cast("string")).alias("d"),
+        )
+        joined = fact.join(dim, "k").select(
+            F.count_if(F.length("payload") > 0).alias("n")
+        )
+        joined.collect()  # AQE re-plans during execution
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
+
+
 def test_minhash_xxhash64_prod_path(spark):
     """The JVM-native xxhash64 variant (production path, not
     oracle-reproducible) must run and must pair exact duplicates —
