@@ -496,6 +496,36 @@ def q_cc_components(spark, sf_dir):
     )
 
 
+def _messy_urls(docs):
+    """Deterministic messy URL variants over documents: 5 crawl-dup
+    shapes (case, fragment, default port + trailing slash, utm chain,
+    ref param) of one canonical page per doc_id % 41 group."""
+    g = (F.col("doc_id") % 41).cast("string")
+    v = F.col("doc_id") % 5
+    base = F.concat(F.lit("example"), g, F.lit(".com/page/"), g)
+    url = (
+        F.when(v == 0, F.concat(F.lit("https://"), base))
+        .when(v == 1, F.concat(
+            F.lit("HTTPS://EXAMPLE"), g, F.lit(".COM/page/"), g,
+            F.lit("#section")))
+        .when(v == 2, F.concat(
+            F.lit("https://example"), g, F.lit(".com:443/page/"), g,
+            F.lit("/")))
+        .when(v == 3, F.concat(
+            F.lit("https://"), base,
+            F.lit("?utm_source=feed&utm_campaign=x")))
+        .otherwise(F.concat(F.lit("https://"), base, F.lit("?ref=tw#top")))
+    )
+    return docs.select("doc_id", url.alias("url"))
+
+
+def q_url_dedup(spark, sf_dir):
+    from rdf_converter_spark.operators.urlkit import url_dedup
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    return url_dedup(_messy_urls(docs)).orderBy("canonical_url")
+
+
 def q_windowed_counts(spark, sf_dir):
     """Batch twin of the watermarked streaming window aggregation
     (streaming/windows.py) — stream==batch equivalence is pytest's
@@ -592,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "entity_linking": q_entity_linking,
         "cc_components": q_cc_components,
+        "url_dedup": q_url_dedup,
         "windowed_counts": q_windowed_counts,
         "sessionize": q_sessionize,
         "kg_web_pipeline": kg_web_pipeline,
@@ -1023,6 +1054,54 @@ def oracle_sql() -> dict[str, str]:
               ) AS rank FROM scored
             ) WHERE rank <= 3 ORDER BY doc_id, rank
         """.format(w=_WORDS),
+        "url_dedup": r"""
+            WITH d AS (
+              SELECT doc_id,
+                CASE CAST(doc_id % 5 AS INT)
+                  WHEN 0 THEN 'https://example' || (doc_id % 41)
+                       || '.com/page/' || (doc_id % 41)
+                  WHEN 1 THEN 'HTTPS://EXAMPLE' || (doc_id % 41)
+                       || '.COM/page/' || (doc_id % 41) || '#section'
+                  WHEN 2 THEN 'https://example' || (doc_id % 41)
+                       || '.com:443/page/' || (doc_id % 41) || '/'
+                  WHEN 3 THEN 'https://example' || (doc_id % 41)
+                       || '.com/page/' || (doc_id % 41)
+                       || '?utm_source=feed&utm_campaign=x'
+                  ELSE 'https://example' || (doc_id % 41)
+                       || '.com/page/' || (doc_id % 41) || '?ref=tw#top'
+                END AS url
+              FROM documents WHERE doc_id < 200
+            ), c1 AS (
+              SELECT doc_id, regexp_replace(url, '#.*$', '', 'g') AS u
+              FROM d
+            ), c2 AS (
+              SELECT doc_id, CASE WHEN regexp_extract(u,
+                  '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1) <> ''
+                THEN lower(regexp_extract(u,
+                       '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1))
+                     || regexp_replace(u,
+                          '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '')
+                ELSE u END AS u
+              FROM c1
+            ), c3 AS (
+              SELECT doc_id, regexp_replace(regexp_replace(u,
+                  '^(http://[^/:?]+):80([/?]|$)', '\1\2'),
+                  '^(https://[^/:?]+):443([/?]|$)', '\1\2') AS u
+              FROM c2
+            ), c4 AS (
+              SELECT doc_id, regexp_replace(u,
+                '([?&])(?:(?:utm_[a-z]+|fbclid|gclid|mc_eid|ref)=[^&#]*(?:&|$))+',
+                '\1', 'g') AS u
+              FROM c3
+            ), c5 AS (
+              SELECT doc_id, regexp_replace(
+                regexp_replace(u, '[?&]$', ''), '(.)/+$', '\1') AS u
+              FROM c4
+            )
+            SELECT u AS canonical_url, min(doc_id) AS survivor_id,
+                   count(*) AS n_variants
+            FROM c5 GROUP BY 1 ORDER BY 1
+        """,
         "windowed_counts": """
             SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)
                      AS start_s,
