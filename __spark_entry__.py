@@ -345,6 +345,36 @@ def q_fingerprint(spark, sf_dir):
     return fingerprint(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_pii_scrub(spark, sf_dir):
+    """PII scrub over documents with PLANTED emails/phones/IPs (the
+    raw fixture has none — an all-zero green row would be vacuous)."""
+    from rdf_converter_spark.operators.textstats import pii_scrub
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    i = F.col("doc_id").cast("string")
+    planted = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit(" contact user"), i,
+                        F.lit("@example.com now")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit(" call +358 40 123 "), i, F.lit(" today")))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit(" from 10.0."), (F.col("doc_id") % 250)
+                       .cast("string"), F.lit(".7 logged")))
+        .otherwise(F.lit(""))
+    )
+    docs = docs.select(
+        "doc_id", F.concat("text", planted).alias("text")
+    )
+    return pii_scrub(docs).orderBy("doc_id")
+
+
+def q_repetition(spark, sf_dir):
+    from rdf_converter_spark.operators.textstats import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def q_exact_dedup(spark, sf_dir):
     from rdf_converter_spark.operators.dedup import exact_dedup
 
@@ -610,6 +640,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
+        "pii_scrub": q_pii_scrub,
+        "repetition": q_repetition,
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
@@ -808,6 +840,48 @@ def oracle_sql() -> dict[str, str]:
               'min') AS fingerprint
             FROM documents ORDER BY doc_id
         """.format(w=_WORDS),
+        "pii_scrub": r"""
+            WITH d AS (
+              SELECT doc_id, text ||
+                CASE CAST(doc_id % 4 AS INT)
+                  WHEN 0 THEN ' contact user' || doc_id
+                       || '@example.com now'
+                  WHEN 1 THEN ' call +358 40 123 ' || doc_id || ' today'
+                  WHEN 2 THEN ' from 10.0.' || (doc_id % 250)
+                       || '.7 logged'
+                  ELSE ''
+                END AS text
+              FROM documents WHERE doc_id < 300
+            )
+            SELECT doc_id,
+              len(regexp_extract_all(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                AS n_emails,
+              len(regexp_extract_all(text,
+                '\+[0-9][0-9 ()-]{6,}[0-9]')) AS n_phones,
+              len(regexp_extract_all(text,
+                '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS n_ips,
+              regexp_replace(regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+                '\+[0-9][0-9 ()-]{6,}[0-9]', '<PHONE>', 'g'),
+                '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g')
+                AS scrubbed
+            FROM d ORDER BY doc_id
+        """,
+        "repetition": """
+            SELECT doc_id,
+              round(1.0 - len(list_distinct(
+                  regexp_split_to_array(text, '\n')))
+                / greatest(len(regexp_split_to_array(text, '\n')), 1), 6)
+                AS dup_line_frac,
+              round(len(list_distinct({bi}))
+                / greatest(len({bi}), 1), 6) AS distinct_bigram_ratio
+            FROM documents ORDER BY doc_id
+        """.format(bi=(
+            "list_transform(range(0, greatest(len({w}) - 2, 0) + 1),"
+            " i -> array_to_string(({w})[i+1:i+2], ' '))"
+        ).format(w=_WORDS)),
         "exact_dedup": """
             SELECT md5(text) AS text_md5, min(doc_id) AS survivor_id,
                    count(*) AS group_size

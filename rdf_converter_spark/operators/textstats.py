@@ -101,3 +101,57 @@ def fingerprint(docs: DataFrame, shingle: int = 5) -> DataFrame:
     return docs.select(
         "doc_id", F.array_min(shingles).alias("fingerprint")
     )
+
+
+# PII patterns (redaction order matters: emails contain digits/dots
+# that the phone/ip patterns must not half-match afterwards)
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+[0-9][0-9 ()-]{6,}[0-9]"
+IPV4_RE = r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"
+
+
+def pii_scrub(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, international phone numbers and IPv4 addresses
+    (the standard pre-training scrub pass) — pure regexp, counted via
+    ``regexp_count`` so the pipeline can report removal rates."""
+    t = F.col(text_col)
+    out = docs.select(
+        "doc_id",
+        F.regexp_count(t, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(t, EMAIL_RE, "<EMAIL>"),
+                PHONE_RE, "<PHONE>",
+            ),
+            IPV4_RE, "<IP>",
+        ).alias("scrubbed"),
+    )
+    return out
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Repetition quality signals (Gopher-style filters): fraction of
+    duplicate lines and distinct-bigram ratio — low distinct ratios
+    flag boilerplate/spam. Array expressions only, no shuffle."""
+    lines = F.split(F.col("text"), r"\n")
+    words = _words()
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, 2)),
+    )
+    return docs.select(
+        "doc_id",
+        F.round(
+            1.0
+            - F.size(F.array_distinct(lines))
+            / F.greatest(F.size(lines), F.lit(1)),
+            6,
+        ).alias("dup_line_frac"),
+        F.round(
+            F.size(F.array_distinct(bigrams))
+            / F.greatest(F.size(bigrams), F.lit(1)),
+            6,
+        ).alias("distinct_bigram_ratio"),
+    )
