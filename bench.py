@@ -65,7 +65,13 @@ HEADLINE = [
     "simhash",
     "embedding_near_dup",
     "ann_topk",
+    "ann_topk_ivf",
     "multimodal_features",
+    "url_dedup",
+    "pii_scrub",
+    "repetition",
+    "windowed_counts",
+    "sessionize",
 ]
 
 

@@ -72,20 +72,56 @@ def ivf_topk(
     volume ~ nprobe/n_cells of the corpus per query.
     """
     corpus = _as_double(embeddings).select("vec_id", "v")
-    cents = (
-        corpus.orderBy("vec_id").limit(n_cells)
-        .select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    # the coarse quantizer is a driver-side artifact (a k-means fit
+    # would be too): collect the n_cells centroid vectors (tiny) and
+    # inline them as literals — cell ASSIGNMENT is then a pure per-row
+    # expression, NO shuffle/join of the corpus at all (r02 first cut
+    # ranked a crossJoin through a per-vec_id window: one full corpus
+    # exchange that a 10^12-vector table cannot afford)
+    cent_rows = sorted(
+        corpus.orderBy("vec_id").limit(n_cells).collect(),
+        key=lambda r: r["vec_id"],
     )
-    sim = F.round(_cosine(F.col("v"), F.col("cv")), 6)
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("cell").asc()
+
+    cent_arr = F.array(*[
+        F.struct(
+            F.lit(int(r["vec_id"])).cast("long").alias("cell"),
+            F.array(*[F.lit(float(x)) for x in r["v"]]).alias("cv"),
+        )
+        for r in cent_rows
+    ])
+
+    def best_cell(v):
+        """argmax over literal centroids of round(cosine, 6), ties to
+        the lower cell id — same order as a (csim DESC, cell ASC)
+        rank-1 window. A single ``aggregate`` fold: the accumulator is
+        a lambda variable, so the tree stays linear in n_cells (a
+        chained F.when fold would reference the previous step three
+        times and blow up exponentially)."""
+        init = F.struct(
+            F.lit(-2.0).alias("sim"), F.lit(-1).cast("long").alias("cell")
+        )
+
+        def step(acc, c):
+            sim = F.round(_cosine(v, c["cv"]), 6)
+            better = (sim > acc["sim"]) | (
+                (sim == acc["sim"]) & (c["cell"] < acc["cell"])
+            )
+            return F.when(
+                better,
+                F.struct(sim.alias("sim"), c["cell"].alias("cell")),
+            ).otherwise(acc)
+
+        return F.aggregate(cent_arr, init, step)
+
+    assigned = corpus.select(
+        "vec_id", "v", best_cell(F.col("v"))["cell"].alias("cell")
     )
-    assigned = (
-        corpus.crossJoin(F.broadcast(cents))
-        .withColumn("csim", sim)
-        .withColumn("crank", F.row_number().over(w_assign))
-        .filter(F.col("crank") == 1)
-        .select("vec_id", "v", "cell")
+    # queries probe their nprobe best cells: same literal centroids,
+    # rank via a window over the (tiny) query x cell fan-out
+    cents = corpus.sparkSession.createDataFrame(
+        [(r["vec_id"], [float(x) for x in r["v"]]) for r in cent_rows],
+        "cell long, cv array<double>",
     )
     q = _as_double(queries).select(
         F.col("query_id"), F.col("v").alias("qv")
