@@ -100,8 +100,27 @@ def main(argv=None):
             asr=kinds.get("asr"),
             flow=args.flow_mapping,
         )
+        from rdf_converter_spark.operators.emit import dedup_triples
+        from rdf_converter_spark.terms import TRIPLE_KEY
+
         routed = route(web)
-        triples = build_triples_inmem(spark, routed).persist()
+        # dedup within (graph, yle dataset): the engine's global
+        # (graph, triple) dedup keeps ONE survivor with an arbitrary
+        # src_url, so a triple emitted by pages in two yle datasets
+        # would land in only one dataset's .ttl nondeterministically —
+        # the reference re-emits it in every dataset's graph
+        # (yle_converter.py:545-546; ADVICE r2). _ds is null outside
+        # the yle graph, so ld/pa dedup keys are unchanged.
+        raw = build_triples_inmem(spark, routed, dedup=False)
+        ds_of = F.when(
+            F.col("graph") == "yle", F.split("src_url", "/").getItem(4)
+        )
+        triples = (
+            dedup_triples(raw.withColumn("_ds", ds_of),
+                          within=("graph", "_ds"))
+            .drop("_ds")
+            .persist()
+        )
 
         os.makedirs(args.output, exist_ok=True)
         wanted = (
@@ -128,10 +147,14 @@ def main(argv=None):
                     .collect() if r[0]
                 ] or ["data"]
                 for ds in datasets:
+                    # a triple can survive twice (once per dataset, or
+                    # dataset + null-src vocab seed): collapse within
+                    # this dataset's slice before writing
+                    sliced = gt.filter(
+                        (ds_col == ds) | ds_col.isNull()
+                    ).dropDuplicates(TRIPLE_KEY)
                     path = os.path.join(args.output, "yle_%s.ttl" % ds)
-                    n = to_turtle_pretty(
-                        gt.filter((ds_col == ds) | ds_col.isNull()), path
-                    )
+                    n = to_turtle_pretty(sliced, path)
                     print("saved %s (%d triples)" % (path, n))
                 continue
             path = os.path.join(args.output, _TTL_NAMES.get(g, g + ".ttl"))

@@ -55,14 +55,17 @@ def _fused_schema(kinds: Sequence[str]) -> T.StructType:
 
 
 # import-time guard: a same-name field with a different type across two
-# kind schemas would silently corrupt the fused frame
+# kind schemas would silently corrupt the fused frame. An explicit
+# raise (not assert): the guard must survive `python -O` (ADVICE r2).
 _types = {}
 for _k, _s in _SCHEMAS.items():
     for _f in _s.fields:
         _t = _f.dataType.simpleString()
-        assert _types.setdefault(_f.name, _t) == _t, (
-            "fused schema conflict on %s" % _f.name
-        )
+        if _types.setdefault(_f.name, _t) != _t:
+            raise TypeError(
+                "fused schema conflict on %s: %s in %s vs %s"
+                % (_f.name, _t, _k, _types[_f.name])
+            )
 
 
 def _csv_recs(derive, pdf: pd.DataFrame):

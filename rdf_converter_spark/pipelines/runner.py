@@ -35,7 +35,9 @@ from . import yle as ylep
 from .vocab import ina_vocab, yle_vocab
 
 
-def build_triples_inmem(spark: SparkSession, routed: DataFrame) -> DataFrame:
+def build_triples_inmem(
+    spark: SparkSession, routed: DataFrame, dedup: bool = True
+) -> DataFrame:
     """Single-plan variant (no staged materialization): routed rows ->
     deduplicated triple table. Used by benchmarks and the streaming
     foreachBatch path; the staged ``run_pipeline`` is the resumable
@@ -76,7 +78,11 @@ def build_triples_inmem(spark: SparkSession, routed: DataFrame) -> DataFrame:
     acc = parts[0]
     for p in parts[1:]:
         acc = acc.unionByName(p, allowMissingColumns=True)
-    return dedup_triples(acc)
+    # dedup=False lets callers that need a different survivor key (the
+    # compat CLI dedups within (graph, yle dataset) so a triple emitted
+    # by pages of TWO datasets reaches both datasets' files, like the
+    # reference's per-dataset graphs) run their own dedup_triples.
+    return dedup_triples(acc) if dedup else acc
 
 
 def build_triples_extraction(spark: SparkSession, routed: DataFrame) -> DataFrame:

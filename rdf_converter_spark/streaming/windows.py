@@ -105,15 +105,19 @@ def sessionize(
         from pyspark.sql import Window as W
 
         wl = W.partitionBy("user_id").orderBy("ts", "event_id")
-        # parquet may surface ts as TIMESTAMP_NTZ (no direct long cast)
-        as_s = lambda c: F.col(c).cast("timestamp").cast("long")  # noqa: E731
-        gap = as_s("ts") - as_s("_prev")
+        # parquet may surface ts as TIMESTAMP_NTZ (no direct long cast).
+        # Gap compared in MICROSECONDS, matching the streaming fn
+        # (t.value // 1000 below) — second-truncated longs would
+        # sessionize sub-second boundary gaps differently between the
+        # batch twin and the stream (ADVICE r2).
+        as_us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+        gap = as_us("ts") - as_us("_prev")
         marked = (
             events.withColumn("_prev", F.lag("ts").over(wl))
             .withColumn(
                 "_new",
                 F.when(F.col("_prev").isNull() |
-                       (gap > gap_seconds), 1).otherwise(0),
+                       (gap > gap_seconds * 10**6), 1).otherwise(0),
             )
         )
         sess_id = F.sum("_new").over(
@@ -131,10 +135,45 @@ def sessionize(
             .select("user_id", "session_start", "session_end", "n_events")
         )
 
+    return events.groupBy("user_id").applyInPandasWithState(
+        _make_session_fn(gap_seconds),
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def _make_session_fn(gap_seconds: int):
+    """The per-key state handler, module-level so the timeout branch is
+    unit-testable against a fake GroupState."""
+
     def fn(
         key: Tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         (user_id,) = key
+        if state.hasTimedOut:
+            # the key went idle past the gap: close and emit the open
+            # session and DROP the state entry — re-arming the timeout
+            # here would keep every idle key's state forever and the
+            # final session would never be emitted (ADVICE r2)
+            if state.exists:
+                start_ms, last_ms, n = state.get
+                state.remove()
+                if start_ms is not None:
+                    yield pd.DataFrame(
+                        {
+                            "user_id": [user_id],
+                            "session_start": pd.to_datetime(
+                                [start_ms], unit="us"
+                            ),
+                            "session_end": pd.to_datetime(
+                                [last_ms], unit="us"
+                            ),
+                            "n_events": [n],
+                        }
+                    )
+            return
         if state.exists:
             start_ms, last_ms, n = state.get
         else:
@@ -153,6 +192,8 @@ def sessionize(
             last_ms = t
             n += 1
         state.update((start_ms, last_ms, n))
+        # (re-)arm the idle timeout ONLY on a data invocation — new
+        # events arrived, so the key is live again
         state.setTimeoutDuration(gap_seconds * 1000)
         if out:
             yield pd.DataFrame(
@@ -168,10 +209,4 @@ def sessionize(
                 }
             )
 
-    return events.groupBy("user_id").applyInPandasWithState(
-        fn,
-        outputStructType=SESSION_SCHEMA,
-        stateStructType=_STATE_SCHEMA,
-        outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
-    )
+    return fn

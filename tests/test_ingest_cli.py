@@ -62,6 +62,38 @@ def test_ingest_dispatch_is_by_argument_not_dirname(spark, corpus, tmp_path):
     ).count()
 
 
+def test_convert_cli_yle_cross_dataset_reemission(spark, tmp_path):
+    """A triple emitted by pages in TWO yle datasets must appear in
+    BOTH datasets' .ttl files: the reference re-emits it in every
+    dataset's graph (yle_converter.py:545-546), so the CLI dedups
+    within (graph, dataset) instead of letting the global dedup pick
+    one arbitrary-src_url survivor (ADVICE r2)."""
+    sys.path.insert(0, REPO)
+    import convert
+    from fixtures.generator import CorpusBuilder
+
+    b = CorpusBuilder(str(tmp_path / "unused"), seed=11)
+    _stem, payload = b._yle_doc(0)
+    for ds in ("dsa", "dsb"):
+        p = tmp_path / "yle" / ds / "prog.xml"
+        p.parent.mkdir(parents=True)
+        p.write_bytes(payload)
+    out = str(tmp_path / "out")
+    rc = convert.main([
+        "yle", "-p", str(tmp_path / "yle"), "-o", out,
+        "--master", "local[4]",
+    ])
+    assert rc == 0
+    names = set(os.listdir(out))
+    assert {"yle_dsa.ttl", "yle_dsb.ttl"} <= names
+    # identical source doc => identical per-dataset graphs; the writer
+    # is deterministic, so the files must be byte-identical
+    ta = open(os.path.join(out, "yle_dsa.ttl")).read()
+    tb = open(os.path.join(out, "yle_dsb.ttl")).read()
+    assert len(ta.splitlines()) > 50 and "memad" in ta
+    assert ta == tb
+
+
 def test_convert_cli_ld(spark, corpus, tmp_path):
     """convert.py ld -p <raw ld dir> -o out/ -f flow.json -k writes the
     reference's ld outputs as parseable Turtle."""

@@ -57,6 +57,74 @@ def test_windowed_counts_stream_equals_batch(spark):
         shutil.rmtree(out, ignore_errors=True)
 
 
+class _FakeTimedOutState:
+    """Stands in for GroupState on a timeout invocation."""
+
+    hasTimedOut = True
+
+    def __init__(self, tup):
+        self._t = tup
+        self.removed = False
+        self.timeout_ms = None
+
+    @property
+    def exists(self):
+        return self._t is not None and not self.removed
+
+    @property
+    def get(self):
+        return self._t
+
+    def remove(self):
+        self.removed = True
+
+    def update(self, t):  # pragma: no cover - must not be called
+        raise AssertionError("update() on a timed-out key")
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_ms = ms
+
+
+def test_sessionize_timeout_emits_open_session_and_removes_state():
+    """On state.hasTimedOut the handler must emit the open session and
+    REMOVE the state entry (not re-arm the timeout) — otherwise idle
+    keys' final sessions are never emitted and the state store grows
+    unboundedly (ADVICE r2)."""
+    import pandas as pd
+
+    from rdf_converter_spark.streaming.windows import _make_session_fn
+
+    fn = _make_session_fn(1800)
+    st = _FakeTimedOutState((1_000_000, 2_000_000, 3))
+    out = list(fn((42,), iter([]), st))
+    assert st.removed
+    assert st.timeout_ms is None  # timeout NOT re-armed
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert int(row["user_id"]) == 42
+    assert int(row["n_events"]) == 3
+    assert row["session_start"] == pd.Timestamp(1_000_000, unit="us")
+    assert row["session_end"] == pd.Timestamp(2_000_000, unit="us")
+
+
+def test_sessionize_batch_gap_is_subsecond_accurate(spark):
+    """The batch twin compares gaps in microseconds like the streaming
+    handler: 1.2 s between events with a 1 s gap must open a new
+    session even though the second-truncated difference is exactly 1."""
+    from datetime import datetime
+
+    from rdf_converter_spark.streaming.windows import (
+        EVENTS_SCHEMA, sessionize,
+    )
+
+    rows = [
+        (1, datetime(2020, 1, 1, 0, 0, 0, 400000), 7, "c", 0.0, ""),
+        (2, datetime(2020, 1, 1, 0, 0, 1, 600000), 7, "c", 0.0, ""),
+    ]
+    df = spark.createDataFrame(rows, EVENTS_SCHEMA)
+    assert sessionize(df, gap_seconds=1).count() == 2
+
+
 def test_sessionize_stateful_matches_batch(spark):
     from rdf_converter_spark.streaming.windows import (
         EVENTS_SCHEMA, sessionize,
