@@ -196,3 +196,51 @@ def test_dedup_is_partial_aggregate(spark, routed):
     plan = _plan(triples)
     n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
     assert n_aggs >= 2, plan
+
+
+def _ann_fixture(spark, n=300, dim=8):
+    from pyspark.sql import functions as F
+
+    emb = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda j: (
+                F.sin(F.col("id") * 0.7 + j * 1.3) + 0.001 * j
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return emb, q
+
+
+def test_ivf_corpus_never_shuffles_before_candidate_window(spark):
+    """ivf_topk's only exchange must be the final per-query rank window
+    over the candidate set: cell assignment is a narrow Arrow
+    projection and the probe side is BROADCAST into the corpus join —
+    at 10^12 corpus vectors any corpus exchange before candidate
+    pruning is the bottleneck (VERDICT r02 perf item)."""
+    from rdf_converter_spark.operators.ann import ivf_topk
+
+    emb, q = _ann_fixture(spark)
+    plan = _plan(ivf_topk(emb, q, dim=8, n_cells=4, nprobe=2))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan, plan
+    # exactly ONE hash-partitioned exchange: the candidate rank window
+    n_part_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_part_exchanges == 1, plan
+
+
+def test_lsh_topk_broadcasts_query_side(spark):
+    """lsh_topk must broadcast the (small) query fan-out into the
+    bucket equi-join — the corpus is never exchanged on bucket."""
+    from rdf_converter_spark.operators.ann import lsh_topk
+
+    emb, q = _ann_fixture(spark)
+    plan = _plan(lsh_topk(emb, q, dim=8, planes=4, probes=2))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
