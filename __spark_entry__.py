@@ -401,6 +401,17 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def q_near_dup_clusters(spark, sf_dir):
+    """LSH pairs -> connected components -> canonical survivor per
+    cluster: the transitive dedup keep-rule (a~b, b~c collapse to one
+    kept doc even when a~c never became a candidate pair)."""
+    from rdf_converter_spark.operators.dedup import near_dup_clusters
+
+    return near_dup_clusters(
+        _t(spark, sf_dir, "documents"), k=8, bands=4, shingle=3
+    ).orderBy("doc_id")
+
+
 def q_ngram_jaccard(spark, sf_dir):
     from rdf_converter_spark.operators.dedup import (
         minhash_lsh_pairs, ngram_jaccard,
@@ -491,6 +502,26 @@ def q_multimodal_features(spark, sf_dir):
         "media_id", "n_bytes", "digest"
     ).orderBy("media_id")
 
+
+
+def q_media_headers(spark, sf_dir):
+    """Real library-free media decode: every document becomes an
+    actual 24-bit BMP (dims a pure function of doc_id), Spark parses
+    the bytes back (magic, header fields, stride-padded size) while
+    the oracle predicts the same values arithmetically."""
+    from rdf_converter_spark.operators.multimodal import (
+        documents_as_bmp, media_features,
+    )
+
+    media = documents_as_bmp(_t(spark, sf_dir, "documents"))
+    return media_features(media).select(
+        "media_id",
+        F.col("meta.format").alias("fmt"),
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+        F.col("meta.channels").cast("long").alias("channels"),
+        "n_bytes",
+    ).orderBy("media_id")
 
 
 def q_entity_linking(spark, sf_dir):
@@ -645,6 +676,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "near_dup_clusters": q_near_dup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "embedding_near_dup": q_embedding_near_dup,
@@ -652,6 +684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "multimodal_features": q_multimodal_features,
+        "media_headers": q_media_headers,
         "entity_linking": q_entity_linking,
         "cc_components": q_cc_components,
         "url_dedup": q_url_dedup,
@@ -910,6 +943,45 @@ def oracle_sql() -> dict[str, str]:
               ON a.band = b.band AND a.bucket = b.bucket
              AND a.doc_id < b.doc_id
             ORDER BY doc_a, doc_b
+        """.format(sig=_MH_SIG.format(sh=shingle3)),
+        # same pair derivation, then transitive closure to the
+        # component minimum = the cluster's canonical doc
+        "near_dup_clusters": """
+            WITH RECURSIVE sigs AS (
+              SELECT doc_id, {sig} AS sig
+              FROM documents
+            ), banded AS (
+              SELECT doc_id, b AS band,
+                     array_to_string(sig[b*2+1:b*2+2], '|') AS bucket
+              FROM sigs, unnest(range(0, 4)) AS t(b)
+            ), sizes AS (
+              SELECT band, bucket, count(*) AS n FROM banded GROUP BY 1, 2
+            ), pruned AS (
+              SELECT banded.* FROM banded
+              JOIN sizes USING (band, bucket) WHERE sizes.n <= 64
+            ), pairs AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM pruned a JOIN pruned b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+            ), undirected AS (
+              SELECT doc_a AS s, doc_b AS d FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs
+            ), nodes AS (
+              SELECT DISTINCT s AS node FROM undirected
+            ), reach(node, r) AS (
+              SELECT node, node FROM nodes
+              UNION
+              SELECT reach.node, u.d FROM reach
+              JOIN undirected u ON reach.r = u.s
+            ), comp AS (
+              SELECT node, min(r) AS cluster FROM reach GROUP BY node
+            )
+            SELECT d.doc_id,
+                   coalesce(c.cluster, d.doc_id) AS cluster,
+                   d.doc_id = coalesce(c.cluster, d.doc_id) AS is_canonical
+            FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+            ORDER BY doc_id
         """.format(sig=_MH_SIG.format(sh=shingle3)),
         "ngram_jaccard": """
             WITH sigs AS (
@@ -1228,6 +1300,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS media_id,
                    octet_length(encode(text)) AS n_bytes,
                    md5(text) AS digest
+            FROM documents ORDER BY media_id
+        """,
+        # the engine PARSES real BMP bytes; the oracle PREDICTS the
+        # header fields from the generating formulas (w=8+id%16,
+        # h=8+id%8, 54-byte header + 4-byte-aligned BGR rows)
+        "media_headers": """
+            SELECT doc_id AS media_id,
+                   'bmp' AS fmt,
+                   8 + doc_id % 16 AS width,
+                   8 + doc_id % 8 AS height,
+                   CAST(3 AS BIGINT) AS channels,
+                   54 + ((3 * (8 + doc_id % 16) + 3) // 4) * 4
+                      * (8 + doc_id % 8) AS n_bytes
             FROM documents ORDER BY media_id
         """,
     }

@@ -31,6 +31,11 @@ def main(argv=None):
                          "canonical triple table + entity map")
     ap.add_argument("--mappings-dir", default=None,
                     help="controlled-vocabulary JSON directory")
+    ap.add_argument("--format", default="parquet",
+                    choices=["parquet", "iceberg"],
+                    help="stage checkpoint format: iceberg = snapshot "
+                         "tables in a configured catalog (needs the "
+                         "iceberg-spark-runtime jar on the classpath)")
     args = ap.parse_args(argv)
 
     if args.mappings_dir:
@@ -49,7 +54,7 @@ def main(argv=None):
     from rdf_converter_spark.pipelines.runner import run_pipeline
 
     out = run_pipeline(spark, args.input, args.work,
-                       resume=not args.no_resume)
+                       resume=not args.no_resume, fmt=args.format)
     n = out["triples"].count()
     print("TRIPLES=%d" % n)
 

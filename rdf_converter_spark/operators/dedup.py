@@ -311,3 +311,42 @@ def embedding_near_dup(
         .distinct()
     )
     return pairs
+
+
+def near_dup_clusters(
+    docs: DataFrame, k: int = 8, bands: int = 4, shingle: int = 3,
+    max_bucket: int = 64, hash_fn: str = "universal",
+) -> DataFrame:
+    """Crawl-level near-duplicate CLUSTERING: LSH candidate pairs
+    (minhash_lsh_pairs) unioned transitively into connected components
+    (operators.cc large/small-star), then one canonical survivor per
+    cluster — the smallest doc_id, the deterministic keep-rule a
+    training-data dedup pass needs (pairs alone under-remove: a~b and
+    b~c must collapse to ONE kept doc even when a~c was never a
+    candidate). Returns every document exactly once:
+    (doc_id, cluster = smallest doc_id of its component,
+    is_canonical = doc_id == cluster); singletons are their own
+    cluster. Vertex ids are zero-padded so the component min (string
+    order) equals the numeric min."""
+    from .cc import connected_components
+
+    def key(c):
+        return F.lpad(F.col(c).cast("string"), 12, "0")
+
+    pairs = minhash_lsh_pairs(
+        docs, k=k, bands=bands, shingle=shingle,
+        max_bucket=max_bucket, hash_fn=hash_fn,
+    )
+    edges = pairs.select(key("doc_a").alias("src"), key("doc_b").alias("dst"))
+    comps = connected_components(edges)
+    out = docs.select("doc_id").join(
+        comps, key("doc_id") == F.col("vertex"), "left"
+    )
+    cluster = F.coalesce(
+        F.col("component").cast("long"), F.col("doc_id")
+    )
+    return out.select(
+        "doc_id",
+        cluster.alias("cluster"),
+        (F.col("doc_id") == cluster).alias("is_canonical"),
+    )

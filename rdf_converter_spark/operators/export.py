@@ -37,11 +37,26 @@ def format_triple(subj, pred, obj, obj_is_uri, lang, datatype) -> str:
     return "<%s> <%s> %s ." % (subj, pred, o)
 
 
-def to_turtle(triples: DataFrame, path: str) -> int:
-    """Collect (small graphs only) and write deterministic TTL/NT."""
+# driver-side writers refuse above this many triples: they exist for
+# fixture/CLI-scale graphs; bigger graphs go to to_turtle_distributed
+COLLECT_CAP = 10_000_000
+
+
+def _collect_capped(triples: DataFrame):
     rows = triples.select(
         "subj", "pred", "obj", "obj_is_uri", "obj_lang", "obj_datatype"
-    ).collect()
+    ).limit(COLLECT_CAP + 1).collect()
+    if len(rows) > COLLECT_CAP:
+        raise ValueError(
+            "refusing to collect > %d triples on the driver — use "
+            "to_turtle_distributed for graphs at this scale" % COLLECT_CAP
+        )
+    return rows
+
+
+def to_turtle(triples: DataFrame, path: str) -> int:
+    """Collect (small graphs only) and write deterministic TTL/NT."""
+    rows = _collect_capped(triples)
     lines = sorted(
         format_triple(r["subj"], r["pred"], r["obj"], r["obj_is_uri"],
                       r["obj_lang"], r["obj_datatype"])
@@ -111,9 +126,7 @@ def to_turtle_pretty(triples: DataFrame, path: str,
     graphs and small handoffs only; the scale path stays
     ``to_turtle_distributed``."""
     prefixes = dict(DEFAULT_PREFIXES if prefixes is None else prefixes)
-    rows = triples.select(
-        "subj", "pred", "obj", "obj_is_uri", "obj_lang", "obj_datatype"
-    ).collect()
+    rows = _collect_capped(triples)
     by_subj: dict = {}
     for r in rows:
         by_subj.setdefault(r["subj"], {}).setdefault(r["pred"], set()).add(

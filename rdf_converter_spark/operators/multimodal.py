@@ -29,19 +29,196 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+META_SCHEMA = T.StructType(
+    [
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType()),
         T.StructField("n_bytes", T.LongType()),
         T.StructField("digest", T.StringType()),
+        T.StructField("meta", META_SCHEMA),
         T.StructField("feat", T.ArrayType(T.FloatType())),
     ]
 )
 
 
-def decode_image(data: bytes):  # pragma: no cover - real codec absent
-    """Real decoder slot (PIL.Image.open). Not available here."""
-    raise NotImplementedError("image codecs not installed in this container")
+def parse_bmp_header(data: bytes):
+    """Width/height/bpp from a BMP (BITMAPINFOHEADER) — pure byte
+    reads, no imaging library. Height may be negative (top-down)."""
+    if len(data) < 54 or data[:2] != b"BM":
+        return None
+    w = int.from_bytes(data[18:22], "little", signed=True)
+    h = int.from_bytes(data[22:26], "little", signed=True)
+    bpp = int.from_bytes(data[28:30], "little")
+    return {
+        "format": "bmp", "width": abs(w), "height": abs(h),
+        "channels": max(bpp // 8, 1), "sample_rate": None,
+        "duration_ms": None,
+    }
+
+
+def parse_ppm_header(data: bytes):
+    """P6 (binary RGB) / P5 (binary gray) netpbm header: ASCII tokens
+    with '#' comments, then raw samples."""
+    if data[:2] not in (b"P6", b"P5"):
+        return None
+    toks, i, n = [], 2, len(data)
+    while len(toks) < 3 and i < n:
+        c = data[i:i + 1]
+        if c == b"#":  # comment to end of line
+            while i < n and data[i:i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < n and not data[j:j + 1].isspace():
+                j += 1
+            toks.append(data[i:j])
+            i = j
+    if len(toks) < 3:
+        return None
+    try:
+        w, h, _maxval = (int(t) for t in toks)
+    except ValueError:
+        return None
+    return {
+        "format": "ppm", "width": w, "height": h,
+        "channels": 3 if data[:2] == b"P6" else 1,
+        "sample_rate": None, "duration_ms": None,
+        "_data_offset": i + 1,
+    }
+
+
+def parse_wav_header(data: bytes):
+    """RIFF/WAVE chunk walk: sample_rate/channels/bits from the fmt
+    chunk, duration from the data chunk length."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(data)
+    rate = channels = bits = None
+    data_len = data_off = None
+    while pos + 8 <= n:
+        cid = data[pos:pos + 4]
+        size = int.from_bytes(data[pos + 4:pos + 8], "little")
+        if cid == b"fmt ":
+            fmt = data[pos + 8:pos + 8 + size]
+            if len(fmt) >= 16:
+                channels = int.from_bytes(fmt[2:4], "little")
+                rate = int.from_bytes(fmt[4:8], "little")
+                bits = int.from_bytes(fmt[14:16], "little")
+        elif cid == b"data":
+            data_len = size
+            data_off = pos + 8
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None:
+        return None
+    dur = None
+    if data_len is not None and channels and bits:
+        bytes_per_s = rate * channels * (bits // 8)
+        if bytes_per_s:
+            dur = int(round(1000.0 * data_len / bytes_per_s))
+    return {
+        "format": "wav", "width": None, "height": None,
+        "channels": channels, "sample_rate": rate, "duration_ms": dur,
+        "_data_offset": data_off, "_data_len": data_len,
+        "_frame_bytes": (channels or 1) * ((bits or 8) // 8),
+    }
+
+
+_META_KEYS = ("format", "width", "height", "channels", "sample_rate",
+              "duration_ms")
+
+
+def decode_media_header(data: bytes) -> dict:
+    """Dispatch on magic bytes; unknown payloads get all-null metadata
+    (format None) rather than an error — at crawl scale unparseable
+    blobs are data, not exceptions."""
+    for parser in (parse_bmp_header, parse_ppm_header, parse_wav_header):
+        hdr = parser(data)
+        if hdr is not None:
+            return {k: hdr.get(k) for k in _META_KEYS}
+    return {k: None for k in _META_KEYS}
+
+
+def decode_image(data: bytes):
+    """Decode an UNCOMPRESSED image to an (h, w, 3) uint8 RGB numpy
+    array: 24-bit BMP (BGR rows, 4-byte aligned, bottom-up unless the
+    height is negative) and P6 PPM (maxval < 256) need no imaging
+    library. Anything else (JPEG/PNG/...) still raises — that is the
+    honest slot where PIL would go (codecs not installed here)."""
+    import numpy as np
+
+    hdr = parse_bmp_header(data)
+    if hdr is not None:
+        w, h = hdr["width"], hdr["height"]
+        bpp = int.from_bytes(data[28:30], "little")
+        comp = int.from_bytes(data[30:34], "little")
+        if bpp != 24 or comp != 0:
+            raise NotImplementedError(
+                "only uncompressed 24-bit BMP decodable without codecs"
+            )
+        off = int.from_bytes(data[10:14], "little")
+        stride = ((w * 3) + 3) // 4 * 4
+        raw = np.frombuffer(data, np.uint8, count=stride * h, offset=off)
+        arr = raw.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        top_down = int.from_bytes(data[22:26], "little", signed=True) < 0
+        if not top_down:
+            arr = arr[::-1]
+        return arr[:, :, ::-1].copy()  # BGR -> RGB
+    p = parse_ppm_header(data)
+    if p is not None and p["format"] == "ppm" and p["channels"] == 3:
+        w, h, off = p["width"], p["height"], p["_data_offset"]
+        raw = np.frombuffer(data, np.uint8, count=w * h * 3, offset=off)
+        return raw.reshape(h, w, 3).copy()
+    raise NotImplementedError(
+        "image codecs not installed in this container"
+    )
+
+
+def encode_bmp(arr) -> bytes:
+    """(h, w, 3) uint8 RGB -> uncompressed 24-bit bottom-up BMP."""
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    stride = ((w * 3) + 3) // 4 * 4
+    rows = np.zeros((h, stride), np.uint8)
+    rows[:, : w * 3] = arr[::-1, :, ::-1].reshape(h, w * 3)  # RGB->BGR
+    body = rows.tobytes()
+    size = 54 + len(body)
+    head = (
+        b"BM" + size.to_bytes(4, "little") + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little") + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little") + len(body).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little") * 2
+        + (0).to_bytes(4, "little") * 2
+    )
+    return head + body
+
+
+def resize_nearest(arr, width: int, height: int):
+    """Nearest-neighbor resize of an (h, w, 3) array via numpy index
+    grids — one vectorized gather, no imaging library."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    ys = (np.arange(height) * h) // height
+    xs = (np.arange(width) * w) // width
+    return arr[ys[:, None], xs[None, :]]
 
 
 def _fake_features(data: bytes, dims: int = 8):
@@ -75,11 +252,20 @@ def media_features(media: DataFrame, use_codec: bool = False) -> DataFrame:
             out.append(_fake_features(data))
         return pd.Series(out)
 
+    @F.pandas_udf(META_SCHEMA)
+    def meta_udf(blobs: pd.Series) -> pd.DataFrame:
+        rows = [
+            decode_media_header(bytes(b) if b is not None else b"")
+            for b in blobs
+        ]
+        return pd.DataFrame(rows, columns=_META_KEYS)
+
     blob = F.coalesce(F.col("media"), F.lit(b""))
     return media.select(
         "media_id",
         F.length(blob).cast("long").alias("n_bytes"),
         F.md5(blob).alias("digest"),
+        meta_udf(F.col("media")).alias("meta"),
         feat_udf(F.col("media")).alias("feat"),
     )
 
@@ -96,10 +282,12 @@ RESIZE_SCHEMA = T.StructType(
 
 def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                   use_codec: bool = False) -> DataFrame:
-    """Resize plumbing: binary in -> binary out per Arrow batch. The
-    codec slot raises (PIL absent); the deterministic fake truncates/
-    tiles the payload to width*height bytes so batch shapes, schema and
-    partitioning are real and testable."""
+    """Resize: binary in -> binary out per Arrow batch. Uncompressed
+    24-bit BMP / P6 PPM payloads are REALLY decoded, nearest-neighbor
+    resized (vectorized numpy gather) and re-encoded as BMP — no
+    imaging library needed. Other payloads: ``use_codec=True`` raises
+    through the honest PIL slot, else the deterministic byte-tile fake
+    keeps batch shapes/schema testable."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         size = width * height
@@ -107,8 +295,14 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
             out = []
             for blob in pdf["media"]:
                 data = bytes(blob) if blob is not None else b""
-                if use_codec:
-                    decode_image(data)
+                try:
+                    arr = decode_image(data)
+                    out.append(encode_bmp(resize_nearest(arr, width,
+                                                         height)))
+                    continue
+                except NotImplementedError:
+                    if use_codec:
+                        raise
                 reps = (size // max(len(data), 1)) + 1
                 out.append((data * reps)[:size])
             yield pd.DataFrame(
@@ -134,9 +328,11 @@ FRAME_SCHEMA = T.StructType(
 
 def sample_frames(media: DataFrame, n_frames: int = 4,
                   use_codec: bool = False) -> DataFrame:
-    """Frame sampling plumbing: one binary video -> n frame rows
-    (1:N Arrow batch fan-out, the shape a real ffmpeg probe would
-    have). Fake frames are deterministic equal-length byte slices."""
+    """Frame sampling: one binary payload -> n frame rows (1:N Arrow
+    batch fan-out, the shape a real ffmpeg probe would have). WAV
+    payloads are REALLY sampled — n equal time windows of whole PCM
+    frames from the data chunk (sample-aligned, no codec needed);
+    other payloads fall back to deterministic equal byte slices."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -145,6 +341,19 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
                 data = bytes(blob) if blob is not None else b""
                 if use_codec:
                     decode_image(data)
+                wav = parse_wav_header(data)
+                if wav is not None and wav.get("_data_len"):
+                    off, dlen = wav["_data_offset"], wav["_data_len"]
+                    fb = max(wav["_frame_bytes"], 1)
+                    n_pcm = dlen // fb
+                    step = max(n_pcm // n_frames, 1)
+                    for k in range(n_frames):
+                        a = off + k * step * fb
+                        b = min(off + (k + 1) * step * fb, off + dlen)
+                        ids.append(mid)
+                        nos.append(k)
+                        frames.append(data[a:b])
+                    continue
                 step = max(len(data) // n_frames, 1)
                 for k in range(n_frames):
                     ids.append(mid)
@@ -155,6 +364,35 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
             )
 
     return media.select("media_id", "media").mapInPandas(run, FRAME_SCHEMA)
+
+
+def documents_as_bmp(docs: DataFrame) -> DataFrame:
+    """Synthesize a REAL 24-bit BMP per document: width/height are
+    pure functions of doc_id (w = 8 + id % 16, h = 8 + id % 8 — the
+    DuckDB oracle recomputes them without parsing bytes) and the pixel
+    payload tiles the text bytes. Exercises the whole decode path
+    (magic, header fields, stride padding) on data an independent
+    engine can predict."""
+    import numpy as np
+
+    @F.pandas_udf(T.BinaryType())
+    def mk(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            w, h = 8 + int(i) % 16, 8 + int(i) % 8
+            raw = (t or "x").encode("utf-8") or b"x"
+            reps = (w * h * 3) // len(raw) + 1
+            arr = np.frombuffer(
+                (raw * reps)[: w * h * 3], np.uint8
+            ).reshape(h, w, 3)
+            out.append(encode_bmp(arr))
+        return pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mk("doc_id", "text").alias("media"),
+        F.lit("image/bmp").alias("media_type"),
+    )
 
 
 def documents_as_media(docs: DataFrame) -> DataFrame:

@@ -127,6 +127,7 @@ def run_pipeline(
     work_dir: str,
     resume: bool = True,
     route_partitions: int = 0,
+    fmt: str = "parquet",
 ) -> Dict[str, DataFrame]:
     """Execute the full pipeline; returns the named output frames.
 
@@ -137,7 +138,7 @@ def run_pipeline(
     scan's partitioning (the right choice when the input is already a
     well-partitioned table).
     """
-    sr = StageRunner(spark, work_dir, resume=resume)
+    sr = StageRunner(spark, work_dir, resume=resume, fmt=fmt)
 
     def build_routed() -> DataFrame:
         r = route(read_web_pages(spark, web_pages_path))
@@ -194,7 +195,12 @@ def run_pipeline(
         "lineage_pa": pa_lin,
         "lineage_yle": yle_lin,
         "metrics": spark.createDataFrame(
-            [tuple(m.values()) for m in sr.metrics],
-            "stage string, rows long, partitions int, seconds double, resumed boolean",
+            [
+                (m["stage"], m["rows"], m["partitions"], m["files"],
+                 m["seconds"], m["resumed"])
+                for m in sr.metrics
+            ],
+            "stage string, rows long, partitions int, files int, "
+            "seconds double, resumed boolean",
         ),
     }

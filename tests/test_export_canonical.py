@@ -205,3 +205,31 @@ def test_canonicalize_over_pipeline_lineage(spark, corpus, tmp_path):
         rewritten.filter(F.col("subj") == canon).count()
         >= triples.filter(F.col("subj") == some["uri"]).count()
     )
+
+
+def test_driver_side_writers_refuse_above_collect_cap(spark, tmp_path,
+                                                      monkeypatch):
+    """to_turtle / to_turtle_pretty are fixture-scale tools: above
+    COLLECT_CAP they must refuse (pointing at to_turtle_distributed)
+    instead of OOMing the driver (VERDICT r02 #5)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from rdf_converter_spark.operators import export
+
+    monkeypatch.setattr(export, "COLLECT_CAP", 50)
+    df = spark.range(51).select(
+        F.concat(F.lit("http://x/s"), F.col("id")).alias("subj"),
+        F.lit("http://x/p").alias("pred"),
+        F.lit("o").alias("obj"),
+        F.lit(False).alias("obj_is_uri"),
+        F.lit(None).cast("string").alias("obj_lang"),
+        F.lit(None).cast("string").alias("obj_datatype"),
+    )
+    with pytest.raises(ValueError, match="to_turtle_distributed"):
+        export.to_turtle(df, str(tmp_path / "a.nt"))
+    with pytest.raises(ValueError, match="to_turtle_distributed"):
+        export.to_turtle_pretty(df, str(tmp_path / "a.ttl"))
+    # at the cap exactly, both still write
+    monkeypatch.setattr(export, "COLLECT_CAP", 51)
+    assert export.to_turtle(df, str(tmp_path / "b.nt")) == 51
