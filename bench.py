@@ -74,11 +74,14 @@ HEADLINE = [
     "fingerprint",
     "exact_dedup",
     "minhash_lsh_pairs",
+    "near_dup_clusters",
     "simhash",
     "embedding_near_dup",
     "ann_topk",
+    "ann_topk_lsh",
     "ann_topk_ivf",
     "multimodal_features",
+    "media_headers",
     "url_dedup",
     "pii_scrub",
     "repetition",
