@@ -45,7 +45,7 @@ REPLICATION = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "72"))
 BENCH_LD = int(os.environ.get("SPARK_GRAFT_BENCH_LD", "3000"))
 # base interleaved low/high pairs; extended adaptively (see main)
 ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
-MAX_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ROUNDS", "4"))
+MAX_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ROUNDS", "3"))
 # timed executions per fresh JVM (samples per subprocess): in-JVM
 # repeats are cheap extra samples and KEEP GETTING FASTER as the JIT
 # finishes (observed 143/142/129 s at 2 cores) — with the min
@@ -55,7 +55,7 @@ MAX_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ROUNDS", "4"))
 RUNS_LOW = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_LOW", "2"))
 RUNS_HIGH = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS_HIGH", "3"))
 # per-level convergence: the two fastest samples must agree this close
-SPREAD_TOL = float(os.environ.get("SPARK_GRAFT_BENCH_TOL", "0.05"))
+SPREAD_TOL = float(os.environ.get("SPARK_GRAFT_BENCH_TOL", "0.06"))
 
 HEADLINE = [
     "kg_tpch_triples",
@@ -333,7 +333,7 @@ def main():
     )
     low = min(lows, key=lambda r: r["seconds"])
     high = min(highs, key=lambda r: r["seconds"])
-    peak = run_level_subprocess(CPUS, corpus, runs=1, pin=False,
+    peak = run_level_subprocess(CPUS, corpus, runs=2, pin=False,
                                 replication=max(REPLICATION // 4, 1))
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

@@ -38,11 +38,22 @@ def main():
             n_yle=max(5, args.ld // 5),
             n_asr=max(3, args.ld // 20),
         )
-    n_docs = sum(
-        len(files)
-        for kind in ("ld", "pa", "yle", "asr")
-        for _, _, files in os.walk(os.path.join(base, kind))
-    )
+    # logical documents (programs/pages), not raw files — LD/PA
+    # datasets pack many rows per CSV; the web_pages twin the
+    # generator writes alongside the raw layout has one row per doc
+    wp = os.path.join(base, "web_pages")
+    if os.path.isdir(wp):
+        import duckdb
+
+        n_docs = duckdb.sql(
+            "SELECT count(*) FROM parquet_scan('%s/*.parquet')" % wp
+        ).fetchone()[0]
+    else:
+        n_docs = sum(
+            len(files)
+            for kind in ("ld", "pa", "yle", "asr")
+            for _, _, files in os.walk(os.path.join(base, kind))
+        )
 
     out = tempfile.mkdtemp(prefix="cli_bench_")
     t0 = time.time()

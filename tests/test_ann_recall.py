@@ -83,3 +83,33 @@ def test_lsh_topk_multiprobe_monotone_on_random(spark):
     # probing more buckets can only add candidates
     assert r7 >= r1, (r1, r7)
     assert r7 >= 0.1, r7  # measured 0.26 on the fixture
+
+
+def test_ivf_arrow_and_expr_paths_agree(spark):
+    """The numpy batch-matmul assignment (production) and the Catalyst
+    literal-fold (oracle twin) must produce identical top-k output —
+    same round-6 cosine, same tie-breaks — on data with ties and
+    near-boundary similarities."""
+    from pyspark.sql import functions as F
+
+    from rdf_converter_spark.operators.ann import ivf_topk
+
+    emb = spark.range(400).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(15)),
+            # id%50 duplicates vectors -> exact ties exercised
+            lambda j: (F.sin((F.col("id") % 50) * 0.37 + j * 0.91)
+                       ).cast("float"),
+        ).alias("embedding"),
+    )
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = ivf_topk(emb, q, dim=16, k=5, n_cells=8, nprobe=3,
+                 assignment="arrow").collect()
+    b = ivf_topk(emb, q, dim=16, k=5, n_cells=8, nprobe=3,
+                 assignment="expr").collect()
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    assert sorted(map(tuple, a), key=lambda t: (t[0], t[2])) == \
+        sorted(map(tuple, b), key=lambda t: (t[0], t[2]))
