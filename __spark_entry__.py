@@ -401,6 +401,36 @@ def q_minhash_lsh_pairs(spark, sf_dir):
     ).orderBy("doc_a", "doc_b")
 
 
+def q_split(spark, sf_dir):
+    """Content-stable train/val/test assignment (hash-bucket, no RNG):
+    both engines derive the split from md5(doc_id|salt) — a row's
+    fate never depends on other rows or execution order."""
+    from rdf_converter_spark.operators.curation import deterministic_split
+
+    return deterministic_split(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "split"
+    ).orderBy("doc_id")
+
+
+def q_lang_quota(spark, sf_dir):
+    from rdf_converter_spark.operators.curation import lang_quota_sample
+
+    return lang_quota_sample(
+        _t(spark, sf_dir, "documents"), quota=30
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs sharing any word 5-gram with
+    the simulated eval set (doc_id % 97 == 0) get flagged; the
+    benchmark's gram hashes broadcast into the corpus join."""
+    from rdf_converter_spark.operators.curation import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    return decontaminate(docs, bench, n=5).orderBy("doc_id")
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """LSH pairs -> connected components -> canonical survivor per
     cluster: the transitive dedup keep-rule (a~b, b~c collapse to one
@@ -677,6 +707,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_clusters": q_near_dup_clusters,
+        "deterministic_split": q_split,
+        "lang_quota_sample": q_lang_quota,
+        "decontaminate": q_decontaminate,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "embedding_near_dup": q_embedding_near_dup,
@@ -944,6 +977,50 @@ def oracle_sql() -> dict[str, str]:
              AND a.doc_id < b.doc_id
             ORDER BY doc_a, doc_b
         """.format(sig=_MH_SIG.format(sh=shingle3)),
+        "deterministic_split": """
+            SELECT doc_id,
+              CASE
+                WHEN CAST('0x' || substr(
+                       md5(CAST(doc_id AS VARCHAR) || '|v1'), 1, 8)
+                     AS BIGINT) % 10000 < 9000 THEN 'train'
+                WHEN CAST('0x' || substr(
+                       md5(CAST(doc_id AS VARCHAR) || '|v1'), 1, 8)
+                     AS BIGINT) % 10000 < 9500 THEN 'val'
+                ELSE 'test'
+              END AS split
+            FROM documents ORDER BY doc_id
+        """,
+        "lang_quota_sample": """
+            SELECT doc_id, lang FROM (
+              SELECT doc_id, lang, row_number() OVER (
+                PARTITION BY lang
+                ORDER BY md5(CAST(doc_id AS VARCHAR) || '|v1'), doc_id
+              ) AS rk FROM documents
+            ) WHERE rk <= 30 ORDER BY doc_id
+        """,
+        "decontaminate": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       range(0, greatest(len({w}) - 5, 0) + 1),
+                       i -> md5(array_to_string(({w})[i+1:i+5], ' '))
+                     )) AS grams
+              FROM documents
+            ), bench AS (
+              SELECT DISTINCT unnest(grams) AS gram
+              FROM g WHERE doc_id % 97 = 0
+            ), corpus AS (
+              SELECT doc_id, unnest(grams) AS gram FROM g
+            ), hits AS (
+              SELECT doc_id, count(*) AS n_hits
+              FROM corpus JOIN bench USING (gram) GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   coalesce(h.n_hits, 0) AS n_hits,
+                   coalesce(h.n_hits, 0) > 0 AS contaminated
+            FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id
+            ORDER BY d.doc_id
+        """.format(w=_WORDS),
         # same pair derivation, then transitive closure to the
         # component minimum = the cluster's canonical doc
         "near_dup_clusters": """

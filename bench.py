@@ -83,6 +83,9 @@ HEADLINE = [
     "multimodal_features",
     "media_headers",
     "url_dedup",
+    "deterministic_split",
+    "lang_quota_sample",
+    "decontaminate",
     "pii_scrub",
     "repetition",
     "windowed_counts",

@@ -1,0 +1,130 @@
+# -*- coding: utf-8 -*-
+"""Corpus curation operators a training-data pipeline needs between
+dedup and export: deterministic split assignment, language-balanced
+subsampling, and benchmark decontamination.
+
+All three are pure Spark SQL expressions/joins (no UDFs, no RNG
+state): determinism is the point — a document's split/sample fate is
+a content-keyed hash, reproducible across reruns, engines (DuckDB
+oracle twins in `__spark_entry__`) and corpus growth, which
+`rand()`-based sampling cannot provide. Not present in the reference
+(it converts a fixed archive); cited as the §2.11 extension surface.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _hash_key(col, salt: str):
+    """int(md5(key|salt)[:8], 16) — the engine-portable uniform hash
+    used across the dedup/minhash family."""
+    return F.conv(
+        F.substring(
+            F.md5(F.concat(col.cast("string"), F.lit("|" + salt))), 1, 8
+        ),
+        16, 10,
+    ).cast("long")
+
+
+def deterministic_split(
+    df: DataFrame,
+    key: str = "doc_id",
+    splits: Sequence[Tuple[str, float]] = (
+        ("train", 0.90), ("val", 0.05), ("test", 0.05),
+    ),
+    salt: str = "v1",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Content-stable train/val/test assignment: bucket =
+    hash(key|salt) % buckets, mapped through cumulative integer
+    thresholds. A row's split never depends on any other row, so
+    growing the corpus or re-running the job never migrates a document
+    across the eval boundary (the leakage mode of fraction-based
+    `randomSplit`). Changing ``salt`` re-draws the whole assignment.
+    """
+    fracs = [f for _, f in splits]
+    if abs(sum(fracs) - 1.0) > 1e-9:
+        raise ValueError("split fractions must sum to 1")
+    b = _hash_key(F.col(key), salt) % buckets
+    cum, expr = 0.0, None
+    for name, frac in splits[:-1]:
+        cum += frac
+        cond = b < int(round(cum * buckets))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = splits[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def lang_quota_sample(
+    df: DataFrame,
+    quota: int = 50,
+    lang_col: str = "lang",
+    key: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Language-balanced subsample: deterministic hash order within
+    each language, keep the first ``quota`` rows — the data-mixing
+    primitive that rebalances a crawl's language skew (a head language
+    with 100x the documents still contributes exactly ``quota``).
+    One exchange (the per-language window); ties broken by key so the
+    result is total-order stable."""
+    w = Window.partitionBy(lang_col).orderBy(
+        F.md5(F.concat(F.col(key).cast("string"), F.lit("|" + salt))),
+        F.col(key),
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .drop("_rk")
+    )
+
+
+def _gram_hashes(df: DataFrame, id_col: str, n: int, text_col: str):
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, n)))
+    )
+    return df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(grams)).alias("gram"),
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 5,
+    text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag every training document that
+    shares at least one word ``n``-gram with an evaluation set (the
+    standard pre-training hygiene pass). The benchmark side is tiny by
+    construction, so its distinct gram hashes are BROADCAST into an
+    equi-join against the exploded corpus grams — the corpus is
+    touched once, never shuffled. Returns one row per input doc:
+    (doc_id, n_hits = count of distinct contaminated grams,
+    contaminated = n_hits > 0)."""
+    bench = _gram_hashes(benchmark, "doc_id", n, text_col).select(
+        "gram"
+    ).dropDuplicates()
+    corpus = _gram_hashes(docs, "doc_id", n, text_col)
+    hits = (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        docs.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+            (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )

@@ -1,0 +1,90 @@
+# -*- coding: utf-8 -*-
+"""Corpus curation: deterministic split, language quota sampling,
+benchmark decontamination. These extend the reference (a fixed-archive
+converter) with the training-data pipeline surface (SURVEY §2.11)."""
+
+from pyspark.sql import functions as F
+
+from rdf_converter_spark.operators.curation import (
+    decontaminate,
+    deterministic_split,
+    lang_quota_sample,
+)
+
+
+def _docs(spark, n=400):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("w"), (F.col("id") % 7).cast("string"),
+                 F.lit(" common text body "),
+                 F.col("id").cast("string")).alias("text"),
+        F.element_at(
+            F.array(F.lit("fi"), F.lit("sv"), F.lit("en")),
+            ((F.col("id") % 3) + 1).cast("int"),
+        ).alias("lang"),
+    )
+
+
+def test_split_is_stable_under_corpus_growth(spark):
+    """A document's split must not change when the corpus grows —
+    the leakage mode of fraction-based randomSplit."""
+    small = deterministic_split(_docs(spark, 100)).collect()
+    big = deterministic_split(_docs(spark, 400)).collect()
+    big_map = {r["doc_id"]: r["split"] for r in big}
+    assert all(big_map[r["doc_id"]] == r["split"] for r in small)
+    fracs = {s: 0 for s in ("train", "val", "test")}
+    for r in big:
+        fracs[r["split"]] += 1
+    assert fracs["train"] > fracs["val"] and fracs["train"] > fracs["test"]
+    assert sum(fracs.values()) == 400
+
+
+def test_split_salt_redraws_assignment(spark):
+    a = deterministic_split(_docs(spark, 300), salt="v1").collect()
+    b = deterministic_split(_docs(spark, 300), salt="v2").collect()
+    bm = {r["doc_id"]: r["split"] for r in b}
+    moved = sum(1 for r in a if bm[r["doc_id"]] != r["split"])
+    assert moved > 10  # a salt change re-draws a real fraction
+
+
+def test_lang_quota_balances_skew(spark):
+    docs = _docs(spark, 300).filter(
+        (F.col("lang") != "en") | (F.col("doc_id") < 30)
+    )  # en becomes a tail language with ~10 docs
+    out = lang_quota_sample(docs, quota=20)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts["fi"] == 20 and counts["sv"] == 20
+    assert counts["en"] <= 20  # tail language keeps what it has
+    # deterministic: same result twice
+    assert sorted(r["doc_id"] for r in out.collect()) == \
+        sorted(r["doc_id"] for r in lang_quota_sample(docs, quota=20).collect())
+
+
+def test_decontaminate_flags_exact_ngram_overlap(spark):
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "totally different words here entirely unique"),
+            (2, "prefix alpha beta gamma delta epsilon suffix"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           decontaminate(docs, bench, n=5).collect()}
+    assert out[0]["contaminated"] and out[2]["contaminated"]
+    assert not out[1]["contaminated"] and out[1]["n_hits"] == 0
+    assert len(out) == 3  # totality: every doc exactly once
+
+
+def test_decontaminate_broadcasts_benchmark_side(spark):
+    docs, bench = _docs(spark, 300), _docs(spark, 10)
+    plan = decontaminate(docs, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    # the corpus gram table must not be exchanged for the gram join
+    # (left side of the broadcast join reads straight from the scan)
+    assert "SortMergeJoin" not in plan, plan
