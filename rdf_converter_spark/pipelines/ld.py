@@ -189,8 +189,10 @@ def _credit_structs(field: str) -> list:
 
 def _derive_ld_program(url, dataset, file, row_idx, row: pd.Series) -> dict:
     # the reference scrubs every string cell of the concatenated
-    # program table (ld_converter.py:77) [Q]
-    row = row.map(lambda v: ld_scrub(v) if isinstance(v, str) else v)
+    # program table (ld_converter.py:77) [Q]; dict-style comprehension
+    # works for both dict and Series rows
+    row = {k: ld_scrub(v) if isinstance(v, str) else v
+           for k, v in row.items()}
 
     out = {"url": url, "dataset": dataset, "file": file, "row": row_idx}
     out.update(_channel_fields(row["Chaine"], upper_check=True))

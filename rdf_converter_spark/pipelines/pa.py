@@ -134,7 +134,7 @@ def _derive_pa(url, dataset, file, row_idx, row: pd.Series) -> dict:
     # exact header quirks: 'Type de date ' unless 'Type de date' exists
     broadcasting = (
         row["Type de date "]
-        if "Type de date" not in row.index
+        if "Type de date" not in row
         else row["Type de date"]
     )
     duration_raw = str(row["Durée"])

@@ -65,21 +65,42 @@ def parse_csv_units_batched(payloads):
             io.BytesIO(buf), encoding="latin-1", delimiter=";",
             low_memory=False,
         ).fillna("")
-        for (pos, _), (_, row) in zip(items, df.iterrows()):
+        # plain dicts, not iterrows() Series: the derive kernels read
+        # ~17 fields per row, and Series.__getitem__ + per-row Series
+        # construction were >half the parse kernel's CPU (profiled);
+        # dict access is ~10x cheaper and value-identical (to_dict
+        # unboxes numpy scalars to native int/float — str()/int()
+        # formatting is unchanged, golden parity pins it)
+        for (pos, _), row in zip(items, df.to_dict("records")):
             order[pos] = row
     return order
 
 
-def _meta(root: ET.Element, name: str) -> Optional[str]:
-    node = root.find("./MAObject[1]/Meta/[@name='%s']" % name)
-    return node.text if node is not None else None
+def _meta_map(parent: ET.Element) -> Dict[str, Optional[str]]:
+    """name -> text of the FIRST Meta child with that name (the
+    ``Meta/[@name='x']`` find semantics), built in ONE child walk —
+    the per-name indexed-path ``find`` re-walked the tree and built
+    ElementPath parent maps 28x per document (profiled as the single
+    hottest spot of the fused parse)."""
+    out: Dict[str, Optional[str]] = {}
+    for m in parent:
+        if m.tag == "Meta":
+            name = m.get("name")
+            if name not in out:
+                out[name] = m.text
+    return out
 
 
 def parse_yle_unit(payload: bytes) -> Dict:
     """One Yle MAObject XML document -> dict of scalar fields plus
     repeated sub-entity lists (yle_converter.py:277-540)."""
     root = ET.fromstring(payload)
-    guid = root.find("./MAObject[1]/GUID").text
+    first_ma = root.find("./MAObject")
+    guid = first_ma.find("./GUID").text
+    metas = _meta_map(first_ma)
+
+    def _meta(_root, name):
+        return metas.get(name)
 
     fields = {
         "guid": guid,
@@ -112,60 +133,67 @@ def parse_yle_unit(payload: bytes) -> Dict:
         "firstrun_time": _meta(root, "FIRSTRUN_TIME"),
     }
 
+    # one child-walk per repeated group (indexed Meta finds re-walk
+    # the subtree per field); a missing required Meta raises KeyError —
+    # the parse kernels' documented fail-fast contract (P4)
     subtitles = []
-    for sub in root.findall("./MVAttribute[@type='SUBTITLES']"):
-        subtitles.append(
-            {
-                "filename": sub.find("./Meta[@name='ST_FILENAME']").text,
-                "language": sub.find("./Meta[@name='ST_LANGUAGE_CODES']").text,
-                "file_format": sub.find("./Meta[@name='ST_FILE_FORMAT']").text,
-                "date_ingested": sub.find("./Meta[@name='ST_INGEST_DATE']").text,
-                "date_published": sub.find("./Meta[@name='ST_PUB_DATE']").text,
-            }
-        )
-
     audios = []
-    for audio in root.findall("./MVAttribute[@type='AUDIO']"):
-        audios.append(
-            {
-                "codec": audio.find("./Meta[@name='PMA_CODEC']").text,
-                "language": audio.find("./Meta[@name='PMA_LANGUAGE']").text,
-                "sample_rate": audio.find("./Meta[@name='PMA_SAMPLE_RATE']").text,
-                "note": audio.find("./Meta[@name='PMA_NOTES']").text,
-            }
-        )
-
     pubevents = []
-    for pub in root.findall("./MVAttribute[@type='PUBLICATIONS']"):
-        pubevents.append(
-            {
-                "pub_id": pub.find("./Meta[@name='PUB_ID']").text,
-                "datetime": pub.find("./Meta[@name='PUB_DATETIME']").text,
-                "datetime_end": pub.find("./Meta[@name='PUB_DATETIME_END']").text,
-                "channel": pub.find("./Meta[@name='PUB_CHANNEL']").text,
-            }
-        )
-
     contributors = []
-    for cont in root.findall("./MVAttribute[@type='CONTRIBUTORS']"):
-        contributors.append(
-            {
-                "name": cont.find('./Meta[@name="CONT_PERSON_NAME"]').text,
-                "role": cont.find('./Meta[@name="CONT_PERSON_ROLE"]').text,
-            }
-        )
-
-    # segment descriptions keyed by GUID, joined intra-document
-    # (yle_converter.py:485-502 — J5: no shuffle, both sides same doc)
     segments_content = {}
-    for content in root.findall("./MAObject[@mdclass='S_CONTENT_DESCRIPTION']"):
-        segments_content[content.find("./GUID").text] = content.find(
-            './Meta[@name="SEGMENT_DESCRIPTION"]'
-        ).text
+    for child in root:
+        if child.tag == "MVAttribute":
+            ctype = child.get("type")
+            if ctype == "SUBTITLES":
+                m = _meta_map(child)
+                subtitles.append(
+                    {
+                        "filename": m["ST_FILENAME"],
+                        "language": m["ST_LANGUAGE_CODES"],
+                        "file_format": m["ST_FILE_FORMAT"],
+                        "date_ingested": m["ST_INGEST_DATE"],
+                        "date_published": m["ST_PUB_DATE"],
+                    }
+                )
+            elif ctype == "AUDIO":
+                m = _meta_map(child)
+                audios.append(
+                    {
+                        "codec": m["PMA_CODEC"],
+                        "language": m["PMA_LANGUAGE"],
+                        "sample_rate": m["PMA_SAMPLE_RATE"],
+                        "note": m["PMA_NOTES"],
+                    }
+                )
+            elif ctype == "PUBLICATIONS":
+                m = _meta_map(child)
+                pubevents.append(
+                    {
+                        "pub_id": m["PUB_ID"],
+                        "datetime": m["PUB_DATETIME"],
+                        "datetime_end": m["PUB_DATETIME_END"],
+                        "channel": m["PUB_CHANNEL"],
+                    }
+                )
+            elif ctype == "CONTRIBUTORS":
+                m = _meta_map(child)
+                contributors.append(
+                    {
+                        "name": m["CONT_PERSON_NAME"],
+                        "role": m["CONT_PERSON_ROLE"],
+                    }
+                )
+        elif (child.tag == "MAObject"
+              and child.get("mdclass") == "S_CONTENT_DESCRIPTION"):
+            # segment descriptions keyed by GUID, joined intra-document
+            # (yle_converter.py:485-502 — J5: no shuffle, same doc)
+            segments_content[child.find("./GUID").text] = _meta_map(
+                child
+            )["SEGMENT_DESCRIPTION"]
 
     segments = []
-    for seg in root.findall(
-        "./MAObject[1]/StratumEx[@name='CONTENT_DESCRIPTION']/*/Segment"
+    for seg in first_ma.findall(
+        "./StratumEx[@name='CONTENT_DESCRIPTION']/*/Segment"
     ):
         if "contentid" in seg.attrib:
             cid = seg.attrib["contentid"]
