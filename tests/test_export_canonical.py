@@ -69,7 +69,9 @@ def _parse_turtle(text):
             body.append(line)
     stmt = " ".join(body)
     tok_re = re.compile(
-        r'"(?:[^"\\]|\\.)*"(?:@[\w-]+|\^\^\S+)?|[;,.]|[^\s;,]+'
+        # <IRI> first: IRIREFs may legally contain ',' / ';' (e.g. the
+        # yle genre URI .../erotic,_sex) and must tokenize atomically
+        r'<[^>]*>|"(?:[^"\\]|\\.)*"(?:@[\w-]+|\^\^\S+)?|[;,.]|[^\s;,]+'
     )
     subj = pred = None
     expect = "subj"
