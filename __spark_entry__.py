@@ -431,6 +431,20 @@ def q_decontaminate(spark, sf_dir):
     return decontaminate(docs, bench, n=5).orderBy("doc_id")
 
 
+def q_tfidf(spark, sf_dir):
+    from rdf_converter_spark.operators.textstats import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=5).orderBy(
+        "doc_id", "rank"
+    )
+
+
+def q_ngram_counts(spark, sf_dir):
+    from rdf_converter_spark.operators.textstats import ngram_counts
+
+    return ngram_counts(_t(spark, sf_dir, "documents"), n=2, k=20)
+
+
 def q_near_dup_clusters(spark, sf_dir):
     """LSH pairs -> connected components -> canonical survivor per
     cluster: the transitive dedup keep-rule (a~b, b~c collapse to one
@@ -707,6 +721,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_clusters": q_near_dup_clusters,
+        "tfidf_topk": q_tfidf,
+        "ngram_counts": q_ngram_counts,
         "deterministic_split": q_split,
         "lang_quota_sample": q_lang_quota,
         "decontaminate": q_decontaminate,
@@ -977,6 +993,40 @@ def oracle_sql() -> dict[str, str]:
              AND a.doc_id < b.doc_id
             ORDER BY doc_a, doc_b
         """.format(sig=_MH_SIG.format(sh=shingle3)),
+        # rational tf-idf: integer-exact score so both engines rank
+        # bit-identically (float log idf differs in the last ulp)
+        "tfidf_topk": """
+            WITH t2 AS (
+              SELECT doc_id, unnest({w}) AS term FROM documents
+            ), t3 AS (
+              SELECT doc_id, term FROM t2 WHERE term <> ''
+            ), tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM t3 GROUP BY 1, 2
+            ), df AS (
+              SELECT term, count(DISTINCT doc_id) AS df FROM t3 GROUP BY 1
+            ), n AS (
+              SELECT count(*) AS n FROM documents
+            ), scored AS (
+              SELECT tf.doc_id, tf.term,
+                     (tf.tf * n.n * 1000000) // df.df AS score
+              FROM tf JOIN df USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, rank, score FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC
+              ) AS rank FROM scored
+            ) WHERE rank <= 5 ORDER BY doc_id, rank
+        """.format(w=_WORDS),
+        "ngram_counts": """
+            WITH g AS (
+              SELECT unnest(list_transform(
+                range(0, greatest(len({w}) - 2, 0) + 1),
+                i -> array_to_string(({w})[i+1:i+2], ' ')
+              )) AS gram FROM documents
+            )
+            SELECT gram, count(*) AS n FROM g WHERE gram <> ''
+            GROUP BY gram ORDER BY n DESC, gram ASC LIMIT 20
+        """.format(w=_WORDS),
         "deterministic_split": """
             SELECT doc_id,
               CASE

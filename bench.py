@@ -69,6 +69,8 @@ HEADLINE = [
     "uri_mint_slug",
     "dedup_rows",
     "token_count",
+    "tfidf_topk",
+    "ngram_counts",
     "quality_score",
     "lang_id",
     "fingerprint",

@@ -155,3 +155,63 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             6,
         ).alias("distinct_bigram_ratio"),
     )
+
+
+def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k characteristic terms per document by a RATIONAL tf-idf:
+    ``score = tf * N * 10^6 // df`` (integer-exact — a float
+    ``log(N/df)`` ranks identically only up to last-ulp libm
+    differences between engines, which an oracle hash-compare cannot
+    tolerate; the rational idf is monotone in 1/df, so per-doc
+    ordering matches log-idf whenever tf ties don't mask it, and is
+    bit-reproducible everywhere). Two exchanges at scale: the
+    (doc, term) tf aggregate and the term df aggregate (broadcast back
+    — the vocabulary is small next to the corpus); rank window is
+    per-doc. Ties: score desc, term asc."""
+    from pyspark.sql import Window
+
+    n_docs = docs.count()
+    terms = docs.select(
+        "doc_id", F.explode(_words()).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df_ = terms.groupBy("term").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    # integral DIV, not double '/'+floor: double quotients can land
+    # one ulp under an exact integer and floor() off-by-one vs the
+    # oracle's exact BIGINT '//'
+    scored = tf.join(F.broadcast(df_), "term").withColumn(
+        "score",
+        F.expr("(tf * CAST(%d AS BIGINT)) DIV df" % (int(n_docs) * 1_000_000)),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "term",
+                F.col("rank").cast("long").alias("rank"), "score")
+    )
+
+
+def ngram_counts(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
+    """Corpus-level top-k word n-grams with counts — the corpus
+    statistic a tokenizer/LM-data audit starts from. One partial-
+    aggregated exchange over the exploded grams; top-k via a global
+    sort of the (tiny) aggregated gram table. Ties: count desc,
+    gram asc."""
+    words = _words()
+    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))
+    )
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .filter(F.col("gram") != "")
+        .groupBy("gram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("gram").asc())
+        .limit(k)
+    )

@@ -168,3 +168,31 @@ def test_spark_media_headers_meta_column(spark):
         w, h = 8 + r["media_id"] % 16, 8 + r["media_id"] % 8
         assert (r["format"], r["width"], r["height"]) == ("bmp", w, h)
         assert r["n_bytes"] == 54 + ((3 * w + 3) // 4) * 4 * h
+
+
+def test_bmp_round_trip_property():
+    """Hypothesis: encode->decode is identity for arbitrary small RGB
+    arrays (stride padding, both dimensions, pixel values)."""
+    try:
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+    except ImportError:  # pragma: no cover
+        import pytest
+        pytest.skip("hypothesis not installed")
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=13),
+        h=st.integers(min_value=1, max_value=9),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def check(w, h, seed):
+        a = np.random.RandomState(seed).randint(
+            0, 256, size=(h, w, 3), dtype=np.uint8
+        )
+        data = encode_bmp(a)
+        hdr = parse_bmp_header(data)
+        assert (hdr["width"], hdr["height"]) == (w, h)
+        np.testing.assert_array_equal(decode_image(data), a)
+
+    check()
