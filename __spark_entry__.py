@@ -568,6 +568,19 @@ def q_media_headers(spark, sf_dir):
     ).orderBy("media_id")
 
 
+def q_png_pipeline(spark, sf_dir):
+    """Real zlib PNG round trip: every document becomes a compressed
+    PNG whose pixels tile md5-hex(text); Spark inflates + unfilters
+    the bytes back and digests the decoded pixels, while the oracle
+    reconstructs the same digest purely arithmetically."""
+    from rdf_converter_spark.operators.multimodal import (
+        decoded_pixel_digest, documents_as_png,
+    )
+
+    media = documents_as_png(_t(spark, sf_dir, "documents"))
+    return decoded_pixel_digest(media).orderBy("media_id")
+
+
 def q_entity_linking(spark, sf_dir):
     from rdf_converter_spark.operators.linker import (
         build_alias_dictionary, entity_links,
@@ -734,6 +747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_ivf": q_ann_topk_ivf,
         "multimodal_features": q_multimodal_features,
         "media_headers": q_media_headers,
+        "png_pipeline": q_png_pipeline,
         "entity_linking": q_entity_linking,
         "cc_components": q_cc_components,
         "url_dedup": q_url_dedup,
@@ -993,6 +1007,24 @@ def oracle_sql() -> dict[str, str]:
              AND a.doc_id < b.doc_id
             ORDER BY doc_a, doc_b
         """.format(sig=_MH_SIG.format(sh=shingle3)),
+        # the oracle rebuilds the tiled md5-hex pixel payload and
+        # digests it directly — no PNG code on the DuckDB side; Spark
+        # must actually inflate + unfilter to produce the same digest
+        "png_pipeline": """
+            SELECT doc_id AS media_id,
+                   'png' AS fmt,
+                   4 + doc_id % 9 AS width,
+                   4 + doc_id % 5 AS height,
+                   md5(substr(
+                     repeat(md5(text),
+                            CAST((4 + doc_id % 9) * (4 + doc_id % 5)
+                                 * 3 // 32 + 1 AS INT)),
+                     1,
+                     CAST((4 + doc_id % 9) * (4 + doc_id % 5) * 3
+                          AS INT)
+                   )) AS pixel_md5
+            FROM documents ORDER BY media_id
+        """,
         # rational tf-idf: integer-exact score so both engines rank
         # bit-identically (float log idf differs in the last ulp)
         "tfidf_topk": """

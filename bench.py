@@ -84,6 +84,7 @@ HEADLINE = [
     "ann_topk_ivf",
     "multimodal_features",
     "media_headers",
+    "png_pipeline",
     "url_dedup",
     "deterministic_split",
     "lang_quota_sample",

@@ -135,6 +135,123 @@ def parse_wav_header(data: bytes):
     }
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png_header(data: bytes):
+    """Width/height/bit-depth/color-type from the IHDR chunk."""
+    if len(data) < 33 or data[:8] != _PNG_MAGIC or data[12:16] != b"IHDR":
+        return None
+    w = int.from_bytes(data[16:20], "big")
+    h = int.from_bytes(data[20:24], "big")
+    color_type = data[25]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    return {
+        "format": "png", "width": w, "height": h,
+        "channels": channels, "sample_rate": None, "duration_ms": None,
+        "_bit_depth": data[24], "_color_type": color_type,
+        "_interlace": data[28],
+    }
+
+
+def decode_png(data: bytes):
+    """Decode an 8-bit non-interlaced RGB/RGBA/gray PNG to an
+    (h, w, 3) uint8 RGB array with ONLY stdlib zlib + numpy: walk the
+    chunks, inflate IDAT, undo the per-row filters (None/Sub/Up/
+    Average/Paeth), drop alpha / expand gray. Palette, 16-bit and
+    interlaced PNGs still raise — honest limits of a library-free
+    decoder."""
+    import zlib
+
+    import numpy as np
+
+    hdr = parse_png_header(data)
+    if hdr is None:
+        raise NotImplementedError("not a PNG")
+    if (hdr["_bit_depth"] != 8 or hdr["_interlace"] != 0
+            or hdr["_color_type"] not in (0, 2, 4, 6)):
+        raise NotImplementedError(
+            "only 8-bit non-interlaced gray/RGB/RGBA PNG decodable "
+            "without codecs"
+        )
+    w, h, nch = hdr["width"], hdr["height"], hdr["channels"]
+    idat, pos = [], 8
+    while pos + 8 <= len(data):
+        size = int.from_bytes(data[pos:pos + 4], "big")
+        ctype = data[pos + 4:pos + 8]
+        if ctype == b"IDAT":
+            idat.append(data[pos + 8:pos + 8 + size])
+        elif ctype == b"IEND":
+            break
+        pos += 12 + size  # len + type + payload + crc
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) < h * (stride + 1):
+        raise NotImplementedError("truncated PNG stream")
+    rows = np.frombuffer(raw, np.uint8,
+                         count=h * (stride + 1)).reshape(h, stride + 1)
+    filters, lines = rows[:, 0], rows[:, 1:].astype(np.int16)
+    out = np.zeros((h, stride), np.uint8)
+    for y in range(h):
+        line = lines[y].copy()
+        prev = out[y - 1].astype(np.int16) if y else np.zeros(
+            stride, np.int16
+        )
+        f = filters[y]
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth carry left-to-right state
+            cur = np.zeros(stride, np.int16)
+            for x in range(stride):
+                a = cur[x - nch] if x >= nch else 0
+                b = prev[x]
+                if f == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:  # Paeth
+                    c = prev[x - nch] if x >= nch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    cur[x] = (line[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+    img = out.reshape(h, w, nch)
+    if nch == 1:
+        return np.repeat(img, 3, axis=2)
+    if nch == 2:  # gray + alpha
+        return np.repeat(img[:, :, :1], 3, axis=2)
+    return img[:, :, :3].copy()  # RGB / RGBA minus alpha
+
+
+def encode_png(arr) -> bytes:
+    """(h, w, 3) uint8 RGB -> PNG (filter 0, one zlib IDAT) with
+    stdlib zlib only — used by tests and as a compact re-encode
+    target."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+
+    def chunk(ctype, payload):
+        body = ctype + payload
+        return (struct.pack(">I", len(payload)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
 _META_KEYS = ("format", "width", "height", "channels", "sample_rate",
               "duration_ms")
 
@@ -143,7 +260,8 @@ def decode_media_header(data: bytes) -> dict:
     """Dispatch on magic bytes; unknown payloads get all-null metadata
     (format None) rather than an error — at crawl scale unparseable
     blobs are data, not exceptions."""
-    for parser in (parse_bmp_header, parse_ppm_header, parse_wav_header):
+    for parser in (parse_bmp_header, parse_ppm_header, parse_wav_header,
+                   parse_png_header):
         hdr = parser(data)
         if hdr is not None:
             return {k: hdr.get(k) for k in _META_KEYS}
@@ -151,11 +269,13 @@ def decode_media_header(data: bytes) -> dict:
 
 
 def decode_image(data: bytes):
-    """Decode an UNCOMPRESSED image to an (h, w, 3) uint8 RGB numpy
-    array: 24-bit BMP (BGR rows, 4-byte aligned, bottom-up unless the
-    height is negative) and P6 PPM (maxval < 256) need no imaging
-    library. Anything else (JPEG/PNG/...) still raises — that is the
-    honest slot where PIL would go (codecs not installed here)."""
+    """Decode an image to an (h, w, 3) uint8 RGB numpy array with no
+    imaging library: 24-bit uncompressed BMP (BGR rows, 4-byte
+    aligned, bottom-up unless the height is negative), P6 PPM
+    (maxval < 256), and 8-bit non-interlaced PNG (stdlib zlib inflate
+    + numpy unfiltering — see decode_png). Anything else (JPEG, 16-bit
+    / palette / interlaced PNG, ...) still raises — the honest slot
+    where PIL would go (codecs not installed here)."""
     import numpy as np
 
     hdr = parse_bmp_header(data)
@@ -180,6 +300,8 @@ def decode_image(data: bytes):
         w, h, off = p["width"], p["height"], p["_data_offset"]
         raw = np.frombuffer(data, np.uint8, count=w * h * 3, offset=off)
         return raw.reshape(h, w, 3).copy()
+    if data[:8] == _PNG_MAGIC:
+        return decode_png(data)  # stdlib-zlib inflate + unfilter
     raise NotImplementedError(
         "image codecs not installed in this container"
     )
@@ -392,6 +514,64 @@ def documents_as_bmp(docs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         mk("doc_id", "text").alias("media"),
         F.lit("image/bmp").alias("media_type"),
+    )
+
+
+def documents_as_png(docs: DataFrame) -> DataFrame:
+    """A REAL zlib-compressed PNG per document: dims are pure
+    functions of doc_id (w = 4 + id % 9, h = 4 + id % 5) and the RGB
+    payload tiles the ASCII md5-hex of the text — so an independent
+    engine can reconstruct the exact pixel bytes (and their digest)
+    without any PNG code, while Spark must actually inflate and
+    unfilter to get them back."""
+    import numpy as np
+
+    @F.pandas_udf(T.BinaryType())
+    def mk(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            w, h = 4 + int(i) % 9, 4 + int(i) % 5
+            seed = hashlib.md5(
+                (t or "").encode("utf-8")
+            ).hexdigest().encode("ascii")
+            reps = (w * h * 3) // len(seed) + 1
+            arr = np.frombuffer(
+                (seed * reps)[: w * h * 3], np.uint8
+            ).reshape(h, w, 3)
+            out.append(encode_png(arr))
+        return pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mk("doc_id", "text").alias("media"),
+        F.lit("image/png").alias("media_type"),
+    )
+
+
+def decoded_pixel_digest(media: DataFrame) -> DataFrame:
+    """(media_id, fmt, width, height, pixel_md5): parse the header AND
+    fully decode the image, digesting the raw RGB bytes — the
+    round-trip proof that the decoder reproduces the original pixels,
+    checkable by an engine that only knows the generating formula."""
+    import numpy as np  # noqa: F401
+
+    @F.pandas_udf(T.StringType())
+    def pix_md5(blobs: pd.Series) -> pd.Series:
+        out = []
+        for b in blobs:
+            arr = decode_image(bytes(b) if b is not None else b"")
+            out.append(hashlib.md5(arr.tobytes()).hexdigest())
+        return pd.Series(out)
+
+    feats = media_features(media)
+    return media.join(
+        feats.select("media_id", "meta"), "media_id"
+    ).select(
+        "media_id",
+        F.col("meta.format").alias("fmt"),
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+        pix_md5(F.col("media")).alias("pixel_md5"),
     )
 
 

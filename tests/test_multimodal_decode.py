@@ -196,3 +196,125 @@ def test_bmp_round_trip_property():
         np.testing.assert_array_equal(decode_image(data), a)
 
     check()
+
+
+def _filter_png_rows(arr, filters):
+    """Inverse of the unfilter pass: produce the filtered scanline
+    bytes for a target image with a chosen filter type per row."""
+    h, w, nch = arr.shape
+    stride = w * nch
+    flat = arr.reshape(h, stride).astype(int)
+    out = []
+    for y, f in enumerate(filters):
+        prev = flat[y - 1] if y else np.zeros(stride, int)
+        cur = flat[y]
+        line = np.zeros(stride, int)
+        for x in range(stride):
+            a = cur[x - nch] if x >= nch else 0
+            b = prev[x]
+            c = prev[x - nch] if x >= nch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+            line[x] = (cur[x] - pred) & 0xFF
+        out.append(bytes([f]) + bytes(line.astype(np.uint8)))
+    return b"".join(out)
+
+
+def _png_from_raw(w, h, color_type, raw):
+    import struct
+    import zlib
+
+    from rdf_converter_spark.operators.multimodal import _PNG_MAGIC
+
+    def chunk(ctype, payload):
+        body = ctype + payload
+        return (struct.pack(">I", len(payload)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b""))
+
+
+def test_png_round_trip_and_header():
+    from rdf_converter_spark.operators.multimodal import (
+        decode_png, encode_png, parse_png_header,
+    )
+
+    a = _arr(5, 7, seed=9)
+    data = encode_png(a)
+    hdr = parse_png_header(data)
+    assert (hdr["format"], hdr["width"], hdr["height"],
+            hdr["channels"]) == ("png", 7, 5, 3)
+    np.testing.assert_array_equal(decode_png(data), a)
+    assert decode_media_header(data)["format"] == "png"
+
+
+def test_png_all_filter_types_decode():
+    """Sub/Up/Average/Paeth unfiltering must reconstruct exactly."""
+    a = _arr(5, 6, seed=21)
+    raw = _filter_png_rows(a, [0, 1, 2, 3, 4])
+    data = _png_from_raw(6, 5, 2, raw)
+    np.testing.assert_array_equal(decode_image(data), a)
+
+
+def test_png_rgba_and_gray_variants():
+    rng = np.random.RandomState(4)
+    rgba = rng.randint(0, 256, size=(3, 4, 4), dtype=np.uint8)
+    raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(3))
+    out = decode_image(_png_from_raw(4, 3, 6, raw))
+    np.testing.assert_array_equal(out, rgba[:, :, :3])
+
+    gray = rng.randint(0, 256, size=(3, 4, 1), dtype=np.uint8)
+    raw = b"".join(b"\x00" + gray[y].tobytes() for y in range(3))
+    out = decode_image(_png_from_raw(4, 3, 0, raw))
+    np.testing.assert_array_equal(out, np.repeat(gray, 3, axis=2))
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    from rdf_converter_spark.operators.multimodal import _PNG_MAGIC
+
+    def chunk(ctype, payload):
+        body = ctype + payload
+        return (struct.pack(">I", len(payload)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    # palette (color type 3) and interlaced both refuse honestly
+    for ct, il in ((3, 0), (2, 1)):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, ct, 0, 0, il)
+        data = (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+                + chunk(b"IEND", b""))
+        with pytest.raises(NotImplementedError):
+            decode_image(data)
+
+
+def test_png_resize_through_spark_pipeline(spark):
+    from rdf_converter_spark.operators.multimodal import (
+        decode_image as dec, encode_png, resize_images, resize_nearest,
+    )
+
+    png = encode_png(_arr(8, 8, seed=2))
+    media = spark.createDataFrame(
+        [(0, bytearray(png))], "media_id long, media binary"
+    )
+    out = resize_images(media, width=4, height=4).collect()[0]
+    np.testing.assert_array_equal(
+        dec(bytes(out["resized"])),
+        resize_nearest(dec(png), 4, 4),
+    )
