@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import config, mappings
-from ..operators.emit import explode_triples, triple, uref
+from ..operators.emit import cached_exprs, explode_triples, triple, uref
 from ..sources.units import parse_csv_units_batched
 from ..terms import DCT_PUBLISHER, EB, MEMAD, RDF_TYPE, RDFS_LABEL, XSD
 from ..textkit import (
@@ -361,8 +361,7 @@ def _credit_bundle(subject_col: str, agent_name_first: bool):
     )
 
 
-def ld_program_triples(programs: DataFrame) -> DataFrame:
-    """Triples of the LD program pass (ld_converter.py:278-431)."""
+def _ld_program_bundle():
     static = F.array(
         uref("collection_uri", EB("isParentOf"), F.col("program_uri")),
         uref("timeslot_uri", EB("isParentOf"), F.col("program_uri")),
@@ -399,8 +398,7 @@ def ld_program_triples(programs: DataFrame) -> DataFrame:
     producers = F.transform(
         "producers", lambda p: triple("program_uri", EB("hasProducer"), p)
     )
-    return explode_triples(
-        programs,
+    return (
         _channel_bundle(),
         _parent_bundle(),
         static,
@@ -409,6 +407,14 @@ def ld_program_triples(programs: DataFrame) -> DataFrame:
         _kw_bundle("program_uri"),
         producers,
         _credit_bundle("program_uri", True),
+    )
+
+
+def ld_program_triples(programs: DataFrame) -> DataFrame:
+    """Triples of the LD program pass (ld_converter.py:278-431)."""
+    return explode_triples(
+        programs,
+        *cached_exprs("ld_program_triples", _ld_program_bundle),
         graph="ld",
     )
 
@@ -474,9 +480,7 @@ def ld_segments_with_times(
     )
 
 
-def ld_segment_triples(segments_with_times: DataFrame) -> DataFrame:
-    """Triples of the LD segment pass (ld_converter.py:443-560); NO
-    vocabulary and no isParentOf in this graph."""
+def _ld_segment_bundle():
     static = F.array(
         uref("segment_uri", RDF_TYPE, EB("Part")),
         triple("segment_uri", EB("hasIdentifier"), F.col("hashed_id")),
@@ -488,13 +492,21 @@ def ld_segment_triples(segments_with_times: DataFrame) -> DataFrame:
         triple("segment_uri", EB("start"), F.col("t_start"), dt=XSD("time")),
         triple("segment_uri", EB("end"), F.col("t_end"), dt=XSD("time")),
     )
-    return explode_triples(
-        segments_with_times,
+    return (
         _channel_bundle(),
         _parent_bundle(),
         static,
         _kw_bundle("segment_uri"),
         _credit_bundle("segment_uri", False),
+    )
+
+
+def ld_segment_triples(segments_with_times: DataFrame) -> DataFrame:
+    """Triples of the LD segment pass (ld_converter.py:443-560); NO
+    vocabulary and no isParentOf in this graph."""
+    return explode_triples(
+        segments_with_times,
+        *cached_exprs("ld_segment_triples", _ld_segment_bundle),
         graph="ld_sujets",
     )
 

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import config, mappings
-from ..operators.emit import explode_triples, triple, uref
+from ..operators.emit import cached_exprs, explode_triples, triple, uref
 from ..sources.units import parse_csv_units_batched
 from ..terms import DCT_PUBLISHER, EB, MEMAD, RDF_TYPE, RDFS_LABEL, SKOS_NOTE, XSD
 from ..textkit import (
@@ -426,8 +426,7 @@ def pa_with_segment_times(pa2: DataFrame) -> DataFrame:
     )
 
 
-def pa_triples(pa_full: DataFrame) -> DataFrame:
-    """All triples of the PA pass (pa_converter.py:303-541)."""
+def _pa_bundle():
     seg = F.col("is_segment")
     static = F.array(
         # channel (4)
@@ -558,9 +557,13 @@ def pa_triples(pa_full: DataFrame) -> DataFrame:
                          lambda g: uref("program_uri", EB("hasGenre"), g))
     themes = F.transform("theme_uris",
                          lambda t_: uref("program_uri", EB("hasTheme"), t_))
+    return (static, producers, credits, keywords, genres, themes)
+
+
+def pa_triples(pa_full: DataFrame) -> DataFrame:
+    """All triples of the PA pass (pa_converter.py:303-541)."""
     return explode_triples(
-        pa_full, static, producers, credits, keywords, genres, themes,
-        graph="pa",
+        pa_full, *cached_exprs("pa_triples", _pa_bundle), graph="pa"
     )
 
 

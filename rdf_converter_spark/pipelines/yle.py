@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import config, mappings
-from ..operators.emit import explode_triples, triple, uref
+from ..operators.emit import cached_exprs, explode_triples, triple, uref
 from ..sources.units import parse_yle_unit
 from ..terms import DCT_PUBLISHER, EB, MEMAD, RDF_TYPE, SKOS_NOTE, XSD
 from ..textkit import (
@@ -347,8 +347,7 @@ def parse_yle(routed: DataFrame) -> DataFrame:
     return src.mapInPandas(run, YLE_SCHEMA)
 
 
-def yle_triples(docs: DataFrame) -> DataFrame:
-    """All triples of one dataset pass (yle_converter.py:277-543)."""
+def _yle_bundle():
     has_fr = F.col("firstrun_uri").isNotNull()
     static = F.array(
         # series (yle_converter.py:291-297)
@@ -493,9 +492,14 @@ def yle_triples(docs: DataFrame) -> DataFrame:
             ),
         )
     )
+    return (static, langs, genres, subtitles, audios, pubs, segments,
+            contributors)
+
+
+def yle_triples(docs: DataFrame) -> DataFrame:
+    """All triples of one dataset pass (yle_converter.py:277-543)."""
     return explode_triples(
-        docs, static, langs, genres, subtitles, audios, pubs, segments,
-        contributors, graph="yle",
+        docs, *cached_exprs("yle_triples", _yle_bundle), graph="yle"
     )
 
 
