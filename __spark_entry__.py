@@ -581,6 +581,21 @@ def q_png_pipeline(spark, sf_dir):
     return decoded_pixel_digest(media).orderBy("media_id")
 
 
+def q_png_variants(spark, sf_dir):
+    """Three PNG sample layouts on one pipeline: 8-bit RGB, 16-bit
+    RGB (pixel in the high byte, complement in the low — a decoder
+    reading the wrong byte fails the digest) and 8-bit palette over
+    the gray identity palette. The oracle reconstructs every decoded-
+    pixel digest without PNG code: v0/v1 = md5 of the tiled md5-hex,
+    v2 = the same tiled bytes each tripled by the palette map."""
+    from rdf_converter_spark.operators.multimodal import (
+        decoded_pixel_digest, documents_as_png_variants,
+    )
+
+    media = documents_as_png_variants(_t(spark, sf_dir, "documents"))
+    return decoded_pixel_digest(media).orderBy("media_id")
+
+
 def q_entity_linking(spark, sf_dir):
     from rdf_converter_spark.operators.linker import (
         build_alias_dictionary, entity_links,
@@ -748,6 +763,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         "media_headers": q_media_headers,
         "png_pipeline": q_png_pipeline,
+        "png_variants": q_png_variants,
         "entity_linking": q_entity_linking,
         "cc_components": q_cc_components,
         "url_dedup": q_url_dedup,
@@ -1025,6 +1041,37 @@ def oracle_sql() -> dict[str, str]:
                    )) AS pixel_md5
             FROM documents ORDER BY media_id
         """,
+        "png_variants": """
+            WITH base AS (
+              SELECT doc_id,
+                     4 + doc_id % 9 AS w,
+                     4 + doc_id % 5 AS h,
+                     doc_id % 3 AS v,
+                     md5(text) AS seed
+              FROM documents
+            ), px AS (
+              SELECT doc_id, w, h, v,
+                     substr(
+                       repeat(seed, CAST(w * h * 3 // 32 + 1 AS INT)),
+                       1,
+                       CAST(w * h * (CASE WHEN v = 2 THEN 1 ELSE 3 END)
+                            AS INT)
+                     ) AS tiled
+              FROM base
+            )
+            SELECT doc_id AS media_id,
+                   'png' AS fmt,
+                   w AS width,
+                   h AS height,
+                   CASE WHEN v = 2 THEN
+                     -- gray identity palette triples every index byte
+                     md5(array_to_string(list_transform(
+                       range(1, CAST(w * h AS INT) + 1),
+                       i -> repeat(substr(tiled, i, 1), 3)
+                     ), ''))
+                   ELSE md5(tiled) END AS pixel_md5
+            FROM px ORDER BY media_id
+        """,
         # rational tf-idf: integer-exact score so both engines rank
         # bit-identically (float log idf differs in the last ulp)
         "tfidf_topk": """
@@ -1082,12 +1129,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "decontaminate": """
             WITH g AS (
+              -- docs with < 5 words emit NO grams (short/empty docs
+              -- must not cross-contaminate; mirrors _gram_hashes)
               SELECT doc_id,
                      list_distinct(list_transform(
-                       range(0, greatest(len({w}) - 5, 0) + 1),
+                       range(0, len({w}) - 4),
                        i -> md5(array_to_string(({w})[i+1:i+5], ' '))
                      )) AS grams
               FROM documents
+              WHERE len({w}) >= 5
             ), bench AS (
               SELECT DISTINCT unnest(grams) AS gram
               FROM g WHERE doc_id % 97 = 0

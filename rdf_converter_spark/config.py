@@ -23,11 +23,15 @@ DCTERMS_NS = "http://purl.org/dc/terms/"
 
 
 def mappings_dir() -> str:
-    """Resolve the directory holding the 15 vocabulary JSON files."""
+    """Resolve a filesystem directory holding the 15 vocabulary JSON
+    files. The dictionaries are VENDORED as package data
+    (``rdf_converter_spark/mappings_data/`` — public controlled-
+    vocabulary JSONs from the reference project, loaded zip-safely by
+    ``mappings.load``); this path accessor exists for tools that need
+    a real directory and honors the ``MEMAD_MAPPINGS_DIR`` override."""
     for cand in (
         os.environ.get("MEMAD_MAPPINGS_DIR"),
-        os.path.join(os.path.dirname(os.path.dirname(__file__)), "mappings"),
-        "/root/reference/mappings",
+        os.path.join(os.path.dirname(__file__), "mappings_data"),
     ):
         if cand and os.path.isdir(cand):
             return cand

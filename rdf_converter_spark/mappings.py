@@ -17,9 +17,24 @@ from . import config
 
 @lru_cache(maxsize=None)
 def load(name: str) -> dict:
-    path = os.path.join(config.mappings_dir(), name + ".json")
-    with open(path, encoding="utf-8") as fh:
-        return json.load(fh)
+    """VENDORED package data (``rdf_converter_spark/mappings_data/``,
+    public controlled-vocabulary JSONs from the reference project's
+    ``mappings/``) read via importlib.resources so it also resolves
+    from inside a ``--py-files`` zip on the executors;
+    ``MEMAD_MAPPINGS_DIR`` overrides for operators shipping updated
+    vocabularies."""
+    override = os.environ.get("MEMAD_MAPPINGS_DIR")
+    if override:
+        path = os.path.join(override, name + ".json")
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as fh:
+                return json.load(fh)
+    from importlib.resources import files
+
+    res = files(config.__package__).joinpath(
+        "mappings_data/%s.json" % name
+    )
+    return json.loads(res.read_text(encoding="utf-8"))
 
 
 def ina_channel2code() -> dict:

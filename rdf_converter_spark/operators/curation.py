@@ -85,12 +85,18 @@ def lang_quota_sample(
 
 
 def _gram_hashes(df: DataFrame, id_col: str, n: int, text_col: str):
+    """Distinct word-``n``-gram hashes per document. Documents with
+    FEWER than ``n`` words emit no grams at all (ADVICE r03: the old
+    ``greatest(size-n, 0)`` emitted one short-gram per such doc, so
+    an empty/short benchmark doc flagged every equally-short training
+    doc as contaminated — systematic false positives the oracle's
+    identical bug masked; the oracle SQL carries the same filter)."""
     words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-    idx = F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0)))
+    idx = F.sequence(F.lit(0), F.size(words) - n)
     grams = F.transform(
         idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, n)))
     )
-    return df.select(
+    return df.filter(F.size(words) >= n).select(
         F.col(id_col),
         F.explode(F.array_distinct(grams)).alias("gram"),
     )

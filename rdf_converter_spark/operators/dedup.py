@@ -327,11 +327,14 @@ def near_dup_clusters(
     (doc_id, cluster = smallest doc_id of its component,
     is_canonical = doc_id == cluster); singletons are their own
     cluster. Vertex ids are zero-padded so the component min (string
-    order) equals the numeric min."""
+    order) equals the numeric min — to 20 chars, the full int64 digit
+    width, because ``lpad`` TRUNCATES longer strings and a 12-char
+    pad would silently collide doc_ids >= 10^12 (exactly the scale
+    this module targets)."""
     from .cc import connected_components
 
     def key(c):
-        return F.lpad(F.col(c).cast("string"), 12, "0")
+        return F.lpad(F.col(c).cast("string"), 20, "0")
 
     pairs = minhash_lsh_pairs(
         docs, k=k, bands=bands, shingle=shingle,

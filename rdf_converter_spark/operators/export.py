@@ -171,9 +171,24 @@ def to_turtle_distributed(triples: DataFrame, path: str) -> None:
             .otherwise(
                 F.concat(
                     F.lit('"'),
+                    # same escape set as format_triple/_escape —
+                    # backslash FIRST, then quote and the control
+                    # chars (a PA note with a newline must not break
+                    # the N-Triples line on the scale path)
                     F.regexp_replace(
-                        F.regexp_replace("obj", r"\\", r"\\\\"),
-                        '"', '\\\\"'
+                        F.regexp_replace(
+                            F.regexp_replace(
+                                F.regexp_replace(
+                                    F.regexp_replace(
+                                        "obj", r"\\", r"\\\\"
+                                    ),
+                                    '"', '\\\\"'
+                                ),
+                                "\n", r"\\n"
+                            ),
+                            "\r", r"\\r"
+                        ),
+                        "\t", r"\\t"
                     ),
                     F.lit('"'),
                     F.when(F.col("obj_lang").isNotNull(),

@@ -155,12 +155,14 @@ def parse_png_header(data: bytes):
 
 
 def decode_png(data: bytes):
-    """Decode an 8-bit non-interlaced RGB/RGBA/gray PNG to an
-    (h, w, 3) uint8 RGB array with ONLY stdlib zlib + numpy: walk the
-    chunks, inflate IDAT, undo the per-row filters (None/Sub/Up/
-    Average/Paeth), drop alpha / expand gray. Palette, 16-bit and
-    interlaced PNGs still raise — honest limits of a library-free
-    decoder."""
+    """Decode a non-interlaced PNG to an (h, w, 3) uint8 RGB array
+    with ONLY stdlib zlib + numpy: walk the chunks, inflate IDAT,
+    undo the per-row filters (None/Sub/Up/Average/Paeth), then map to
+    RGB. Supported sample layouts: 8-bit gray/RGB/gray+alpha/RGBA,
+    16-bit the same (high byte kept — the standard 16→8 downsample),
+    8-bit palette (PLTE lookup) and 1/2/4-bit palette or grayscale
+    (bit-unpacked). Interlaced (Adam7) and JPEG still raise — honest
+    limits of a library-free decoder."""
     import zlib
 
     import numpy as np
@@ -168,24 +170,43 @@ def decode_png(data: bytes):
     hdr = parse_png_header(data)
     if hdr is None:
         raise NotImplementedError("not a PNG")
-    if (hdr["_bit_depth"] != 8 or hdr["_interlace"] != 0
-            or hdr["_color_type"] not in (0, 2, 4, 6)):
+    depth, ctype_ = hdr["_bit_depth"], hdr["_color_type"]
+    if hdr["_interlace"] != 0:
         raise NotImplementedError(
-            "only 8-bit non-interlaced gray/RGB/RGBA PNG decodable "
-            "without codecs"
+            "interlaced (Adam7) PNG not decodable without codecs"
+        )
+    if ctype_ not in (0, 2, 3, 4, 6):
+        raise NotImplementedError("unknown PNG color type %d" % ctype_)
+    if depth == 16 and ctype_ == 3:
+        raise NotImplementedError("16-bit palette is not a valid PNG")
+    if depth not in (8, 16) and not (
+        depth in (1, 2, 4) and ctype_ in (0, 3)
+    ):
+        raise NotImplementedError(
+            "PNG bit depth %d with color type %d not decodable "
+            "without codecs" % (depth, ctype_)
         )
     w, h, nch = hdr["width"], hdr["height"], hdr["channels"]
-    idat, pos = [], 8
+    idat, palette, pos = [], None, 8
     while pos + 8 <= len(data):
         size = int.from_bytes(data[pos:pos + 4], "big")
-        ctype = data[pos + 4:pos + 8]
-        if ctype == b"IDAT":
+        ctag = data[pos + 4:pos + 8]
+        if ctag == b"IDAT":
             idat.append(data[pos + 8:pos + 8 + size])
-        elif ctype == b"IEND":
+        elif ctag == b"PLTE":
+            palette = np.frombuffer(
+                data, np.uint8, count=size - size % 3, offset=pos + 8
+            ).reshape(-1, 3)
+        elif ctag == b"IEND":
             break
         pos += 12 + size  # len + type + payload + crc
+    if ctype_ == 3 and (palette is None or not len(palette)):
+        raise NotImplementedError("palette PNG without PLTE chunk")
     raw = zlib.decompress(b"".join(idat))
-    stride = w * nch
+    # filters operate on BYTES; the left-neighbor offset is the whole
+    # pixel's byte width (min 1 for sub-byte depths)
+    bpp = max(nch * depth // 8, 1)
+    stride = (w * nch * depth + 7) // 8
     if len(raw) < h * (stride + 1):
         raise NotImplementedError("truncated PNG stream")
     rows = np.frombuffer(raw, np.uint8,
@@ -205,14 +226,14 @@ def decode_png(data: bytes):
         else:  # Sub/Average/Paeth carry left-to-right state
             cur = np.zeros(stride, np.int16)
             for x in range(stride):
-                a = cur[x - nch] if x >= nch else 0
+                a = cur[x - bpp] if x >= bpp else 0
                 b = prev[x]
                 if f == 1:
                     cur[x] = (line[x] + a) & 0xFF
                 elif f == 3:
                     cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
                 else:  # Paeth
-                    c = prev[x - nch] if x >= nch else 0
+                    c = prev[x - bpp] if x >= bpp else 0
                     p = a + b - c
                     pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                     pred = a if (pa <= pb and pa <= pc) else (
@@ -220,7 +241,21 @@ def decode_png(data: bytes):
                     )
                     cur[x] = (line[x] + pred) & 0xFF
         out[y] = cur.astype(np.uint8)
-    img = out.reshape(h, w, nch)
+    if depth in (1, 2, 4):  # sub-byte gray or palette indices
+        bits = np.unpackbits(out, axis=1)[:, : w * depth]
+        weights = 1 << np.arange(depth - 1, -1, -1)
+        vals = (bits.reshape(h, w, depth) * weights).sum(axis=2)
+        if ctype_ == 3:
+            return palette[np.minimum(vals, len(palette) - 1)].copy()
+        scale = 255 // ((1 << depth) - 1)  # gray: expand to full range
+        return np.repeat(
+            (vals * scale).astype(np.uint8)[:, :, None], 3, axis=2
+        )
+    img = out.reshape(h, w, nch * (depth // 8))
+    if depth == 16:
+        img = img[:, :, ::2]  # big-endian high byte of each sample
+    if ctype_ == 3:
+        return palette[np.minimum(img[:, :, 0], len(palette) - 1)].copy()
     if nch == 1:
         return np.repeat(img, 3, axis=2)
     if nch == 2:  # gray + alpha
@@ -272,10 +307,11 @@ def decode_image(data: bytes):
     """Decode an image to an (h, w, 3) uint8 RGB numpy array with no
     imaging library: 24-bit uncompressed BMP (BGR rows, 4-byte
     aligned, bottom-up unless the height is negative), P6 PPM
-    (maxval < 256), and 8-bit non-interlaced PNG (stdlib zlib inflate
-    + numpy unfiltering — see decode_png). Anything else (JPEG, 16-bit
-    / palette / interlaced PNG, ...) still raises — the honest slot
-    where PIL would go (codecs not installed here)."""
+    (maxval < 256), and non-interlaced PNG (stdlib zlib inflate +
+    numpy unfiltering — 8/16-bit gray/RGB/RGBA and 1/2/4/8-bit
+    palette, see decode_png). Anything else (JPEG, interlaced PNG,
+    ...) still raises — the honest slot where PIL would go (codecs
+    not installed here)."""
     import numpy as np
 
     hdr = parse_bmp_header(data)
@@ -422,7 +458,15 @@ def resize_images(media: DataFrame, width: int = 64, height: int = 64,
                     out.append(encode_bmp(resize_nearest(arr, width,
                                                          height)))
                     continue
-                except NotImplementedError:
+                # unparseable blobs are data, not exceptions (the
+                # decode_media_header contract): a payload whose
+                # leading bytes mimic a magic number can fail past
+                # the probe — truncated P6 body (ValueError from
+                # np.frombuffer), corrupt IDAT (zlib.error), bad
+                # header math (anything) — and one poison blob must
+                # not kill the stage unless codec strictness was
+                # asked for
+                except Exception:
                     if use_codec:
                         raise
                 reps = (size // max(len(data), 1)) + 1
@@ -461,9 +505,12 @@ def sample_frames(media: DataFrame, n_frames: int = 4,
             ids, nos, frames = [], [], []
             for mid, blob in zip(pdf["media_id"], pdf["media"]):
                 data = bytes(blob) if blob is not None else b""
-                if use_codec:
-                    decode_image(data)
+                # WAV first: PCM windowing needs no codec, so the
+                # use_codec strictness probe must not reject audio
+                # payloads that the real path below fully handles
                 wav = parse_wav_header(data)
+                if use_codec and wav is None:
+                    decode_image(data)
                 if wav is not None and wav.get("_data_len"):
                     off, dlen = wav["_data_offset"], wav["_data_len"]
                     fb = max(wav["_frame_bytes"], 1)
@@ -539,6 +586,97 @@ def documents_as_png(docs: DataFrame) -> DataFrame:
                 (seed * reps)[: w * h * 3], np.uint8
             ).reshape(h, w, 3)
             out.append(encode_png(arr))
+        return pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mk("doc_id", "text").alias("media"),
+        F.lit("image/png").alias("media_type"),
+    )
+
+
+def encode_png16(arr) -> bytes:
+    """(h, w, 3) uint8 RGB -> 16-bit RGB PNG whose HIGH bytes are the
+    given samples (low bytes are the complement, so a decoder that
+    read the wrong byte is caught): decode_png must recover exactly
+    ``arr``."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    wide = np.empty((h, w, 3, 2), np.uint8)
+    wide[:, :, :, 0] = arr
+    wide[:, :, :, 1] = 255 - arr
+    raw = b"".join(b"\x00" + wide[y].tobytes() for y in range(h))
+
+    def chunk(ctype, payload):
+        body = ctype + payload
+        return (struct.pack(">I", len(payload)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
+def encode_png_palette_gray(idx) -> bytes:
+    """(h, w) uint8 index array -> 8-bit palette PNG over the 256-
+    entry gray palette (i, i, i): decode_png must map each index
+    through PLTE, tripling every byte."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    idx = np.asarray(idx, dtype=np.uint8)
+    h, w = idx.shape[:2]
+    plte = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
+
+    def chunk(ctype, payload):
+        body = ctype + payload
+        return (struct.pack(">I", len(payload)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
+    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"PLTE", plte.tobytes())
+            + chunk(b"IDAT", zlib.compress(raw, 6))
+            + chunk(b"IEND", b""))
+
+
+def documents_as_png_variants(docs: DataFrame) -> DataFrame:
+    """Like documents_as_png but cycling doc_id % 3 through the three
+    decodable sample layouts — 8-bit RGB, 16-bit RGB (high byte
+    carries the pixel), 8-bit palette over the gray identity palette —
+    so the oracle still predicts every decoded-pixel digest
+    arithmetically (v0/v1 digest the tiled md5-hex itself, v2 the
+    same bytes tripled) while Spark must run three genuinely
+    different decode paths."""
+    import numpy as np
+
+    @F.pandas_udf(T.BinaryType())
+    def mk(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            w, h = 4 + int(i) % 9, 4 + int(i) % 5
+            seed = hashlib.md5(
+                (t or "").encode("utf-8")
+            ).hexdigest().encode("ascii")
+            v = int(i) % 3
+            npx = w * h * (1 if v == 2 else 3)
+            reps = npx // len(seed) + 1
+            tiled = np.frombuffer((seed * reps)[:npx], np.uint8)
+            if v == 0:
+                out.append(encode_png(tiled.reshape(h, w, 3)))
+            elif v == 1:
+                out.append(encode_png16(tiled.reshape(h, w, 3)))
+            else:
+                out.append(encode_png_palette_gray(tiled.reshape(h, w)))
         return pd.Series(out)
 
     return docs.select(

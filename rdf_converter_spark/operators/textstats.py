@@ -165,12 +165,18 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     tolerate; the rational idf is monotone in 1/df, so per-doc
     ordering matches log-idf whenever tf ties don't mask it, and is
     bit-reproducible everywhere). Two exchanges at scale: the
-    (doc, term) tf aggregate and the term df aggregate (broadcast back
-    — the vocabulary is small next to the corpus); rank window is
-    per-doc. Ties: score desc, term asc."""
+    (doc, term) tf aggregate and the term df aggregate, joined on
+    ``term`` with NO broadcast hint — a web-crawl vocabulary runs
+    10^9+ distinct terms and must never be forced driver-side; AQE
+    still broadcasts it at runtime whenever it actually is small.
+    The corpus size N enters the plan as a broadcast 1-row aggregate
+    (parquet count-star, footer-only) instead of a separate
+    ``docs.count()`` action, so the whole query is ONE job with ONE
+    scan of the exploded terms. Rank window is per-doc. Ties: score
+    desc, term asc."""
     from pyspark.sql import Window
 
-    n_docs = docs.count()
+    n_docs = docs.groupBy().agg(F.count("*").alias("_n_docs"))
     terms = docs.select(
         "doc_id", F.explode(_words()).alias("term")
     ).filter(F.col("term") != "")
@@ -181,9 +187,13 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     # integral DIV, not double '/'+floor: double quotients can land
     # one ulp under an exact integer and floor() off-by-one vs the
     # oracle's exact BIGINT '//'
-    scored = tf.join(F.broadcast(df_), "term").withColumn(
-        "score",
-        F.expr("(tf * CAST(%d AS BIGINT)) DIV df" % (int(n_docs) * 1_000_000)),
+    scored = (
+        tf.join(df_, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.expr("(tf * _n_docs * CAST(1000000 AS BIGINT)) DIV df"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("term").asc()

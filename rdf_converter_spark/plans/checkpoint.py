@@ -162,6 +162,19 @@ class StageRunner:
         lineage key; ``file`` disambiguates multi-file tasks)."""
         import pandas as pd
 
+        lineage_path = os.path.join(self.work_dir, "_lineage",
+                                    name + ".json")
+        if resumed and os.path.exists(lineage_path):
+            # a resumed stage did no work: reuse the lineage rows the
+            # original run harvested instead of launching a footer-
+            # read job and rewriting identical JSON (ADVICE r03) —
+            # fall through to a fresh harvest only when the lineage
+            # file is missing (e.g. work_dir copied without _lineage)
+            with open(lineage_path) as fh:
+                per_part = [json.loads(ln) for ln in fh if ln.strip()]
+            self.metrics.append(self._entry(name, per_part, 0.0, True))
+            return
+
         root = self.path(name)
         # the committed file list comes from the read we just opened —
         # no recursive driver-side glob
@@ -195,7 +208,7 @@ class StageRunner:
                 ).collect()
             }
         per_part = []
-        for f in files:
+        for i, f in enumerate(files):
             # iceberg data files live under the catalog warehouse, not
             # the stage dir — record just the file name there
             rel = (os.path.relpath(_local(f), root)
@@ -205,15 +218,26 @@ class StageRunner:
             per_part.append(
                 {
                     "stage": name,
-                    "partition_id": int(m.group(1)) if m else -1,
+                    # non-committer filenames (no part-NNNN) get a
+                    # distinct negative per-file index — a shared -1
+                    # would collapse them and undercount the distinct-
+                    # task "partitions" metric (ADVICE r03)
+                    "partition_id": int(m.group(1)) if m else -(i + 1),
                     "file": rel,
                     "rows": counts[f],
                 }
             )
-        rows = sum(p["rows"] for p in per_part)
+        self.metrics.append(self._entry(name, per_part, seconds, resumed))
+        os.makedirs(os.path.dirname(lineage_path), exist_ok=True)
+        with open(lineage_path, "w") as fh:
+            for p in per_part:
+                fh.write(json.dumps(p) + "\n")
+
+    def _entry(self, name: str, per_part: List[dict], seconds: float,
+               resumed: bool) -> dict:
         entry = {
                 "stage": name,
-                "rows": rows,
+                "rows": sum(p["rows"] for p in per_part),
                 # distinct WRITE TASKS (the task parallelism of the
                 # stage); "files" counts committed files, which exceeds
                 # partitions under partition_by (ADVICE r02)
@@ -224,12 +248,7 @@ class StageRunner:
         }
         if self.fmt == "iceberg":
             entry["snapshot_id"] = self._snapshot_id(name)
-        self.metrics.append(entry)
-        lineage_path = os.path.join(self.work_dir, "_lineage", name + ".json")
-        os.makedirs(os.path.dirname(lineage_path), exist_ok=True)
-        with open(lineage_path, "w") as fh:
-            for p in per_part:
-                fh.write(json.dumps(p) + "\n")
+        return entry
 
     def write_metrics(self):
         with open(os.path.join(self.work_dir, "_metrics.json"), "w") as fh:

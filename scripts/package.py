@@ -14,7 +14,9 @@ def build(dest: str) -> str:
             if "__pycache__" in root:
                 continue
             for f in files:
-                if f.endswith(".py"):
+                # .json: the vendored mappings_data vocabulary files
+                # (read zip-safely via importlib.resources)
+                if f.endswith((".py", ".json")):
                     full = os.path.join(root, f)
                     zf.write(full, os.path.relpath(full, repo))
     return dest

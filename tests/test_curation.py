@@ -88,3 +88,20 @@ def test_decontaminate_broadcasts_benchmark_side(spark):
     # the corpus gram table must not be exchanged for the gram join
     # (left side of the broadcast join reads straight from the scan)
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_decontaminate_short_docs_emit_no_grams(spark):
+    """ADVICE r03: a benchmark doc with fewer than n words must not
+    flag equally-short training docs (the old short-gram fallback made
+    every pair of short docs 'contaminated')."""
+    docs = spark.createDataFrame(
+        [(0, "tiny doc"), (1, ""), (2, "alpha beta gamma delta epsilon")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "tiny doc"), (101, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in
+           decontaminate(docs, bench, n=5).collect()}
+    assert len(out) == 3  # totality holds for gram-free docs too
+    assert not any(r["contaminated"] for r in out.values())

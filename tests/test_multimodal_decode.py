@@ -248,6 +248,26 @@ def _png_from_raw(w, h, color_type, raw):
             + chunk(b"IEND", b""))
 
 
+def _png_build(w, h, depth, color_type, raw, palette=None):
+    """Arbitrary-depth PNG builder (filtered raw stream supplied)."""
+    import struct
+    import zlib
+
+    from rdf_converter_spark.operators.multimodal import _PNG_MAGIC
+
+    def chunk(ctype, payload):
+        body = ctype + payload
+        return (struct.pack(">I", len(payload)) + body
+                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+    out = _PNG_MAGIC + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color_type, 0, 0, 0)
+    )
+    if palette is not None:
+        out += chunk(b"PLTE", bytes(np.asarray(palette, np.uint8).ravel()))
+    return out + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
 def test_png_round_trip_and_header():
     from rdf_converter_spark.operators.multimodal import (
         decode_png, encode_png, parse_png_header,
@@ -294,14 +314,75 @@ def test_png_unsupported_variants_raise():
         return (struct.pack(">I", len(payload)) + body
                 + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
 
-    # palette (color type 3) and interlaced both refuse honestly
-    for ct, il in ((3, 0), (2, 1)):
-        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, ct, 0, 0, il)
-        data = (_PNG_MAGIC + chunk(b"IHDR", ihdr)
-                + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
-                + chunk(b"IEND", b""))
-        with pytest.raises(NotImplementedError):
-            decode_image(data)
+    # interlaced (Adam7) and palette-without-PLTE both refuse honestly
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    data = (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        decode_image(data)
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    data = (_PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + chunk(b"IEND", b""))
+    with pytest.raises(NotImplementedError):
+        decode_image(data)
+
+
+def test_png_palette_8bit_decodes_via_plte():
+    from rdf_converter_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(11)
+    palette = rng.randint(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.randint(0, 16, size=(4, 5), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(4))
+    out = decode_png(_png_build(5, 4, 8, 3, raw, palette=palette))
+    np.testing.assert_array_equal(out, palette[idx])
+
+
+def test_png_palette_subbyte_depths_decode():
+    from rdf_converter_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(12)
+    for depth in (1, 2, 4):
+        n = 1 << depth
+        palette = rng.randint(0, 256, size=(n, 3), dtype=np.uint8)
+        idx = rng.randint(0, n, size=(3, 9), dtype=np.uint8)
+        # pack w=9 indices of `depth` bits into ceil(9*depth/8) bytes
+        bits = np.unpackbits(idx[:, :, None], axis=2,
+                             count=8)[:, :, 8 - depth:]
+        flat = bits.reshape(3, 9 * depth)
+        stride = (9 * depth + 7) // 8
+        padded = np.zeros((3, stride * 8), np.uint8)
+        padded[:, : 9 * depth] = flat
+        rows = np.packbits(padded, axis=1)
+        raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(3))
+        out = decode_png(_png_build(9, 3, depth, 3, raw, palette=palette))
+        np.testing.assert_array_equal(out, palette[idx], "depth=%d" % depth)
+
+
+def test_png_gray_subbyte_scales_to_full_range():
+    from rdf_converter_spark.operators.multimodal import decode_png
+
+    # 1-bit gray: 0 -> 0, 1 -> 255; w=8 fills the byte exactly
+    bits = np.array([[1, 0, 1, 1, 0, 0, 1, 0]], np.uint8)
+    raw = b"\x00" + np.packbits(bits).tobytes()
+    out = decode_png(_png_build(8, 1, 1, 0, raw))
+    np.testing.assert_array_equal(
+        out, np.repeat((bits * 255)[:, :, None], 3, axis=2)
+    )
+
+
+def test_png_16bit_keeps_high_byte():
+    from rdf_converter_spark.operators.multimodal import decode_png
+
+    rng = np.random.RandomState(13)
+    a16 = rng.randint(0, 65536, size=(3, 4, 3), dtype=np.uint16)
+    raw = b"".join(
+        b"\x00" + a16[y].astype(">u2").tobytes() for y in range(3)
+    )
+    out = decode_png(_png_build(4, 3, 16, 2, raw))
+    np.testing.assert_array_equal(out, (a16 >> 8).astype(np.uint8))
 
 
 def test_png_resize_through_spark_pipeline(spark):

@@ -244,3 +244,33 @@ def test_lsh_topk_broadcasts_query_side(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_tfidf_vocab_join_not_hinted_broadcast(spark):
+    """tfidf_topk must not FORCE the term-df (vocabulary) side
+    driver-side: a web-crawl vocabulary is 10^9+ distinct terms
+    (VERDICT r03 #2). The analyzed plan may carry exactly ONE
+    broadcast hint — the 1-row corpus-count side — and none on the
+    term join (whether the vocab broadcasts is then AQE's runtime
+    call, which is the wanted behavior). N enters the plan as that
+    aggregate, not a separate docs.count() action (no job runs at
+    plan time)."""
+    from pyspark.sql import functions as F
+
+    from rdf_converter_spark.operators.textstats import tfidf_topk
+
+    docs = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("alpha beta gamma doc "),
+                 F.col("id").cast("string")).alias("text"),
+    )
+    q = tfidf_topk(docs, k=3)
+    analyzed = q._jdf.queryExecution().analyzed().toString()
+    hints = [ln for ln in analyzed.splitlines() if "ResolvedHint" in ln]
+    assert len(hints) == 1, analyzed
+    # the one hint sits directly above the 1-row global count, not the
+    # term-df aggregate
+    below = analyzed.split("ResolvedHint")[1]
+    assert "count(1) AS _n_docs" in below.split("Aggregate")[1], analyzed
+    assert "approx" not in hints[0]  # plain strategy hint
+    q.collect()  # still executes (crossJoin of the 1-row side)

@@ -137,3 +137,33 @@ def test_iceberg_stage_runner_snapshot_resume(spark, tmp_path):
     df2 = runner2.stage("st", lambda: spark.range(99))
     assert df2.count() == 10  # resumed, not recomputed
     assert runner2.metrics[-1]["resumed"]
+
+
+def test_resumed_stage_reuses_lineage_without_rewrite(spark, tmp_path):
+    """ADVICE r03: a resumed stage must not launch a footer-read job
+    or rewrite its lineage JSON — the original run's rows are reused
+    byte-identically (mtime unchanged), and the metrics entry carries
+    the same totals with seconds=0/resumed=True."""
+    import json
+    import os
+
+    from rdf_converter_spark.plans.checkpoint import StageRunner
+
+    work = str(tmp_path / "w")
+    r1 = StageRunner(spark, work)
+    r1.stage("st", lambda: spark.range(50).repartition(4))
+    lpath = os.path.join(work, "_lineage", "st.json")
+    stat1 = os.stat(lpath)
+
+    r2 = StageRunner(spark, work)
+    r2.stage("st", lambda: spark.range(1))
+    stat2 = os.stat(lpath)
+    assert (stat1.st_mtime_ns, stat1.st_size) == \
+        (stat2.st_mtime_ns, stat2.st_size)
+    m = r2.metrics[-1]
+    assert m["resumed"] and m["seconds"] == 0.0
+    assert m["rows"] == 50
+    with open(lpath) as fh:
+        per_part = [json.loads(ln) for ln in fh if ln.strip()]
+    assert m["files"] == len(per_part)
+    assert m["partitions"] == len({p["partition_id"] for p in per_part})
