@@ -581,6 +581,37 @@ def q_png_pipeline(spark, sf_dir):
     return decoded_pixel_digest(media).orderBy("media_id")
 
 
+def q_asof_join(spark, sf_dir):
+    """Point-in-time join: each click gets the user's latest purchase
+    at-or-before it. Spark side is the union+window form (ONE
+    exchange, no range-join explosion — operators/asof.py); the
+    oracle is DuckDB's native ASOF JOIN. Right side pre-deduplicated
+    per (user, ts) by max event_id in both engines (equal-timestamp
+    duplicates have no deterministic ASOF winner)."""
+    from rdf_converter_spark.operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.expr("max_by(value, event_id)").alias("value"))
+    )
+    return asof_join(left, right).orderBy("event_id")
+
+
+def q_cm_heavy_hitters(spark, sf_dir):
+    """Count-min sketch vs exact word counts: bounded-memory corpus
+    stats (depth x width counters regardless of corpus size); the
+    oracle rebuilds the identical sketch in SQL, so the min-over-rows
+    estimates match bit-for-bit."""
+    from rdf_converter_spark.operators.textstats import cm_heavy_hitters
+
+    return cm_heavy_hitters(_t(spark, sf_dir, "documents"))
+
+
 def q_png_variants(spark, sf_dir):
     """Three PNG sample layouts on one pipeline: 8-bit RGB, 16-bit
     RGB (pixel in the high byte, complement in the low — a decoder
@@ -764,6 +795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_headers": q_media_headers,
         "png_pipeline": q_png_pipeline,
         "png_variants": q_png_variants,
+        "asof_join": q_asof_join,
+        "cm_heavy_hitters": q_cm_heavy_hitters,
         "entity_linking": q_entity_linking,
         "cc_components": q_cc_components,
         "url_dedup": q_url_dedup,
@@ -1041,6 +1074,48 @@ def oracle_sql() -> dict[str, str]:
                    )) AS pixel_md5
             FROM documents ORDER BY media_id
         """,
+        "asof_join": """
+            WITH l AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'click'
+            ), r AS (
+              SELECT user_id, ts, arg_max(value, event_id) AS value
+              FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+            )
+            SELECT l.event_id, l.user_id, l.ts, l.value,
+                   r.ts AS ts_asof, r.value AS value_asof
+            FROM l ASOF LEFT JOIN r
+              ON l.user_id = r.user_id AND l.ts >= r.ts
+            ORDER BY l.event_id
+        """,
+        "cm_heavy_hitters": """
+            WITH g AS (
+              SELECT unnest({w}) AS gram FROM documents
+            ), g2 AS (
+              SELECT gram FROM g WHERE gram <> ''
+            ), exact AS (
+              SELECT gram, count(*) AS n_exact FROM g2 GROUP BY 1
+              ORDER BY n_exact DESC, gram ASC LIMIT 20
+            ), rows_ AS (
+              SELECT gram, r FROM g2, unnest(range(0, 4)) AS t(r)
+            ), sk AS (
+              SELECT r,
+                     CAST('0x' || substr(
+                       md5(gram || '|cm' || CAST(r AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 512 AS bucket,
+                     count(*) AS cnt
+              FROM rows_ GROUP BY 1, 2
+            ), cb AS (
+              SELECT gram, n_exact, r,
+                     CAST('0x' || substr(
+                       md5(gram || '|cm' || CAST(r AS VARCHAR)), 1, 8)
+                     AS BIGINT) % 512 AS bucket
+              FROM exact, unnest(range(0, 4)) AS t(r)
+            )
+            SELECT gram, n_exact, min(cnt) AS n_est
+            FROM cb JOIN sk USING (r, bucket)
+            GROUP BY 1, 2 ORDER BY n_exact DESC, gram ASC
+        """.format(w=_WORDS),
         "png_variants": """
             WITH base AS (
               SELECT doc_id,

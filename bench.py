@@ -53,8 +53,11 @@ REPLICATION = int(os.environ.get("SPARK_GRAFT_BENCH_REP", "72"))
 SCALE_REP = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE_REP",
                                str(2 * REPLICATION)))
 BENCH_LD = int(os.environ.get("SPARK_GRAFT_BENCH_LD", "3000"))
-# base concurrent low/high pairs; extended adaptively (see main)
-ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "2"))
+# base concurrent low/high pairs; extended adaptively (see main).
+# Minimum 3: two equally-contaminated rounds could satisfy the
+# stability rule at a wrong value; a third independent window makes
+# that coincidence visible (the estimate moves and sampling goes on)
+ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_ROUNDS", "3"))
 MAX_ROUNDS = int(os.environ.get("SPARK_GRAFT_BENCH_MAX_ROUNDS", "5"))
 # timed executions per fresh JVM (samples per subprocess): in-JVM
 # repeats are cheap extra samples and KEEP GETTING FASTER as the JIT
@@ -98,6 +101,8 @@ HEADLINE = [
     "media_headers",
     "png_pipeline",
     "png_variants",
+    "asof_join",
+    "cm_heavy_hitters",
     "url_dedup",
     "deterministic_split",
     "lang_quota_sample",

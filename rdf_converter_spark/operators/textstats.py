@@ -206,6 +206,58 @@ def tfidf_topk(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def cm_heavy_hitters(
+    docs: DataFrame, k: int = 20, depth: int = 4, width: int = 512
+) -> DataFrame:
+    """Count-min-sketch word frequencies next to the exact counts —
+    the BOUNDED-MEMORY corpus statistic for keyspaces too wide to
+    aggregate exactly (URL hosts, rare tokens: 10^9+ distinct keys at
+    crawl scale). The sketch is ``depth`` rows of ``width`` counters;
+    every partition combines into at most depth*width cells map-side,
+    so the exchange carries O(partitions * depth * width) rows no
+    matter the corpus — and the finished sketch (depth*width rows) is
+    broadcastable at ANY scale, unlike a vocabulary. Estimates are
+    ``min`` over the depth rows (classic CM upper bound: est >=
+    exact always, with overestimation from bucket collisions).
+    Returns the exact top-``k`` terms with both numbers so collisions
+    are measurable; the engine-portable bucket hash is the md5-prefix
+    used across the dedup family. Ties: exact desc, gram asc."""
+    grams = docs.select(F.explode(_words()).alias("gram")).filter(
+        F.col("gram") != ""
+    )
+    exact = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("gram").asc())
+        .limit(k)
+    )
+
+    def bucket(gram_col, r_col):
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(gram_col, F.lit("|cm"),
+                               r_col.cast("string"))), 1, 8
+            ), 16, 10,
+        ).cast("long") % width
+
+    rs = F.explode(F.array(*[F.lit(i) for i in range(depth)])).alias("r")
+    sketch = (
+        grams.select("gram", rs)
+        .select("r", bucket(F.col("gram"), F.col("r")).alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    cand = exact.select("gram", "n_exact", rs).select(
+        "gram", "n_exact", "r", bucket(F.col("gram"), F.col("r")).alias("bucket")
+    )
+    return (
+        cand.join(F.broadcast(sketch), ["r", "bucket"])
+        .groupBy("gram", "n_exact")
+        .agg(F.min("cnt").alias("n_est"))
+        .orderBy(F.col("n_exact").desc(), F.col("gram").asc())
+    )
+
+
 def ngram_counts(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
     """Corpus-level top-k word n-grams with counts — the corpus
     statistic a tokenizer/LM-data audit starts from. One partial-
