@@ -163,6 +163,42 @@ def test_to_turtle_distributed(spark, tmp_path):
     assert all(line.endswith(" .") for line in lines)
 
 
+def test_to_turtle_distributed_escapes_control_chars(spark, tmp_path):
+    """VERDICT r03 #3: the SCALE path must escape \\n/\\r/\\t exactly
+    like the driver-side formatter — a PA note with a newline used to
+    produce a broken multi-line N-Triples statement there only. Round
+    trip: distributed output parses back to the original literals and
+    matches format_triple line-for-line."""
+    from rdf_converter_spark.operators.export import (
+        format_triple, to_turtle_distributed,
+    )
+
+    rows = [
+        ("u:1", "p", 'line1\nline2\t"quoted" \\ tail\rend', False,
+         None, None),
+        ("u:2", "p", "plain", False, "fr", None),
+        ("u:3", "p", "u:ref", True, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_uri boolean,"
+        "obj_lang string, obj_datatype string",
+    )
+    out = str(tmp_path / "nt_esc")
+    to_turtle_distributed(df, out)
+    lines = []
+    for f in os.listdir(out):
+        if f.startswith("part-"):
+            lines += open(os.path.join(out, f)).read().splitlines()
+    # one PHYSICAL line per triple even with embedded newlines
+    assert len(lines) == 3
+    assert sorted(lines) == sorted(format_triple(*r) for r in rows)
+    # and the parser recovers the original control characters
+    parsed = _parse_turtle("\n".join(lines))
+    assert ('u:1', 'p', 'line1\nline2\t"quoted" \\ tail\rend',
+            False, None, None) in parsed
+
+
 def test_canonicalize_over_pipeline_lineage(spark, corpus, tmp_path):
     """End-to-end alias canonicalization on real pipeline outputs:
     with synthetic alias rows injected into the lineage, the triple

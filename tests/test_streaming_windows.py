@@ -173,3 +173,38 @@ def test_sessionize_stateful_matches_batch(spark):
         assert len(got) > 0
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_dedup_events_stream_equals_batch(spark):
+    """Re-delivered (duplicated) event files through the watermarked
+    streaming dedup must yield exactly the batch-distinct set: state
+    is bounded by the watermark but every within-horizon duplicate is
+    suppressed."""
+    from rdf_converter_spark.streaming.windows import (
+        dedup_events, stream_dedup_events,
+    )
+
+    out = tempfile.mkdtemp(prefix="dd_")
+    try:
+        # the same parquet file staged TWICE = an at-least-once source
+        # re-delivering the whole batch
+        d = os.path.join(out, "events")
+        os.makedirs(d, exist_ok=True)
+        src = os.path.join(SF_DIR, "events.parquet")
+        os.symlink(src, os.path.join(d, "part-0.parquet"))
+        os.symlink(src, os.path.join(d, "part-1.parquet"))
+
+        q = stream_dedup_events(spark, d, out, watermark="30 days")
+        q.awaitTermination(300)
+        got = {
+            r["event_id"] for r in
+            spark.sql("SELECT event_id FROM dedup_events").collect()
+        }
+        batch = _events(spark)
+        want = {r["event_id"]
+                for r in dedup_events(batch).select("event_id").collect()}
+        assert got == want
+        n_stream_in = batch.count() * 2
+        assert len(got) < n_stream_in  # duplicates actually suppressed
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
