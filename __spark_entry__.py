@@ -660,6 +660,95 @@ def q_cc_components(spark, sf_dir):
     )
 
 
+def _doc_link_edges(spark, sf_dir):
+    from rdf_converter_spark.operators.graph import link_edges
+
+    return link_edges(_t(spark, sf_dir, "documents"))
+
+
+def q_graph_degrees(spark, sf_dir):
+    """Per-node in/out/total degree over the deterministic document
+    link graph (two successor edges + one hub edge per doc — the hub
+    nodes carry crawl-graph skew). Union of two partial aggregations,
+    one exchange on the node key."""
+    from rdf_converter_spark.operators.graph import degree_stats
+
+    return degree_stats(_doc_link_edges(spark, sf_dir)).orderBy("node")
+
+
+def q_triangle_count(spark, sf_dir):
+    """Exact triangle count by degree orientation: wedges enumerate at
+    the lowest-degree endpoint so hubs cost O(deg) not O(deg^2); the
+    oracle is the textbook a<b<c three-way self-join."""
+    from rdf_converter_spark.operators.graph import triangle_count
+
+    return triangle_count(_doc_link_edges(spark, sf_dir))
+
+
+def q_pagerank(spark, sf_dir):
+    """5-iteration PageRank over the document link graph as a driver
+    loop of join+aggregate rounds (one shuffle per iteration,
+    localCheckpoint to flatten lineage); the oracle unrolls the same
+    recurrence as chained CTEs with identical double arithmetic, both
+    sides rounded to 6 dp."""
+    from rdf_converter_spark.operators.graph import pagerank
+
+    pr = pagerank(_doc_link_edges(spark, sf_dir), iters=5, damping=0.85)
+    return pr.select(
+        "node", F.round("rank", 6).alias("rank")
+    ).orderBy("node")
+
+
+def q_triple_upsert(spark, sf_dir):
+    """Incremental KG maintenance: a delta batch REPLACES all base
+    objects per (subj, pred) it mentions, NULL-obj rows are group
+    tombstones (operators/merge.py). Base = customer/status triples
+    of every order; delta = status updates for orderkey%10 plus
+    customer tombstones for orderkey%100."""
+    from rdf_converter_spark.operators.merge import upsert_triples
+
+    orders = _t(spark, sf_dir, "orders")
+    subj = F.concat(F.lit("o:"), F.col("o_orderkey").cast("string"))
+    base = orders.select(
+        subj.alias("subj"),
+        F.lit("customer").alias("pred"),
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("obj"),
+    ).unionByName(
+        orders.select(
+            subj.alias("subj"),
+            F.lit("status").alias("pred"),
+            F.col("o_orderstatus").alias("obj"),
+        )
+    )
+    upd = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        subj.alias("subj"),
+        F.lit("status").alias("pred"),
+        F.lit("UPDATED").alias("obj"),
+    )
+    tomb = orders.filter(F.col("o_orderkey") % 100 == 0).select(
+        subj.alias("subj"),
+        F.lit("customer").alias("pred"),
+        F.lit(None).cast("string").alias("obj"),
+    )
+    return upsert_triples(base, upd.unionByName(tomb)).orderBy(
+        "subj", "pred", "obj"
+    )
+
+
+def q_normalize_text(spark, sf_dir):
+    """Unicode NFC + casefold normalization with a decomposed-form
+    suffix injected into every doc (e + U+0301 twice): the normalized
+    text composes to precomposed é and the codepoint count drops by
+    exactly the two combining marks. Oracle = DuckDB nfc_normalize."""
+    from rdf_converter_spark.operators.textstats import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" Re\u0301sume\u0301 LIVES")),
+    )
+    return normalize_text(docs).orderBy("doc_id")
+
+
 def _messy_urls(docs):
     """Deterministic messy URL variants over documents: 5 crawl-dup
     shapes (case, fragment, default port + trailing slash, utm chain,
@@ -803,6 +892,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "windowed_counts": q_windowed_counts,
         "sessionize": q_sessionize,
         "kg_web_pipeline": kg_web_pipeline,
+        "graph_degrees": q_graph_degrees,
+        "triangle_count": q_triangle_count,
+        "pagerank": q_pagerank,
+        "triple_upsert": q_triple_upsert,
+        "normalize_text": q_normalize_text,
     }
 
 
@@ -837,6 +931,58 @@ _STOPLIST = (
     "['and','das','de','der','die','et','ei','että','hän','in','ja','la',"
     "'le','les','nicht','of','on','the','to','und']"
 )
+
+
+# deterministic document link graph — MUST mirror operators.graph
+# .link_edges (two successors mod N + one of 10 hub pages per doc)
+_LINK_EDGES = """
+    nn AS (SELECT count(*) AS n FROM documents),
+    e0 AS (
+        SELECT doc_id AS src, (doc_id + 1) % nn.n AS dst
+        FROM documents, nn
+        UNION ALL
+        SELECT doc_id, (doc_id + 2) % nn.n FROM documents, nn
+        UNION ALL
+        SELECT doc_id, doc_id % 10 FROM documents
+    ),
+    edges AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)
+"""
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled power-method CTE chain — the same recurrence the
+    driver loop in operators.graph.pagerank runs, constant for
+    constant in IEEE doubles (1e0-style literals keep DuckDB out of
+    DECIMAL arithmetic)."""
+    parts = [
+        "WITH " + _LINK_EDGES.strip().rstrip() + ",",
+        """nodes AS (SELECT DISTINCT src AS node FROM edges
+                     UNION SELECT dst FROM edges),
+           nn2 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+           outd AS (SELECT src, CAST(count(*) AS DOUBLE) AS d
+                    FROM edges GROUP BY src),
+           pr0 AS (SELECT node, 1e0 / nn2.n AS rank FROM nodes, nn2),""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            """c{k} AS (SELECT e.dst, sum(p.rank / o.d) AS flow
+                   FROM edges e
+                   JOIN outd o ON o.src = e.src
+                   JOIN pr{p} p ON p.node = e.src
+                   GROUP BY e.dst),
+               pr{k} AS (SELECT n.node,
+                         (1e0 - 0.85e0) / nn2.n
+                         + 0.85e0 * coalesce(c.flow, 0e0) AS rank
+                   FROM nodes n CROSS JOIN nn2
+                   LEFT JOIN c{k} c ON c.dst = n.node){comma}""".format(
+                k=k, p=k - 1, comma="," if k < iters else ""
+            )
+        )
+    parts.append(
+        "SELECT node, round(rank, 6) AS rank FROM pr%d ORDER BY node"
+        % iters
+    )
+    return "\n".join(parts)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1579,6 +1725,71 @@ def oracle_sql() -> dict[str, str]:
               ('yle_flow', 8)
             ) AS t(graph, n_triples)
             ORDER BY graph
+        """,
+        "graph_degrees": """
+            WITH """ + _LINK_EDGES + """,
+            u AS (SELECT src AS node, 1 AS o, 0 AS i FROM edges
+                  UNION ALL
+                  SELECT dst, 0, 1 FROM edges)
+            SELECT node,
+                   CAST(sum(o) AS BIGINT) AS out_degree,
+                   CAST(sum(i) AS BIGINT) AS in_degree,
+                   CAST(sum(o) + sum(i) AS BIGINT) AS degree
+            FROM u GROUP BY node ORDER BY node
+        """,
+        "triangle_count": """
+            WITH """ + _LINK_EDGES + """,
+            und AS (SELECT DISTINCT least(src, dst) AS a,
+                           greatest(src, dst) AS b
+                    FROM edges WHERE src <> dst)
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.a AND e1.b < e2.b
+            JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        "pagerank": _pagerank_oracle(5),
+        "triple_upsert": """
+            WITH base AS (
+                SELECT 'o:' || CAST(o_orderkey AS VARCHAR) AS subj,
+                       'customer' AS pred,
+                       'c:' || CAST(o_custkey AS VARCHAR) AS obj
+                FROM orders
+                UNION ALL
+                SELECT 'o:' || CAST(o_orderkey AS VARCHAR), 'status',
+                       o_orderstatus
+                FROM orders
+            ),
+            delta AS (
+                SELECT 'o:' || CAST(o_orderkey AS VARCHAR) AS subj,
+                       'status' AS pred, 'UPDATED' AS obj
+                FROM orders WHERE o_orderkey % 10 = 0
+                UNION ALL
+                SELECT 'o:' || CAST(o_orderkey AS VARCHAR), 'customer',
+                       NULL
+                FROM orders WHERE o_orderkey % 100 = 0
+            ),
+            keys AS (SELECT DISTINCT subj, pred FROM delta),
+            kept AS (SELECT b.* FROM base b
+                     ANTI JOIN keys k USING (subj, pred))
+            SELECT DISTINCT subj, pred, obj FROM (
+                SELECT * FROM kept
+                UNION ALL
+                SELECT * FROM delta WHERE obj IS NOT NULL
+            ) ORDER BY subj, pred, obj
+        """,
+        "normalize_text": """
+            WITH d AS (
+                SELECT doc_id,
+                       text || ' Re' || chr(769) || 'sume' || chr(769)
+                            || ' LIVES' AS text
+                FROM documents
+            )
+            SELECT doc_id,
+                   lower(nfc_normalize(text)) AS norm_text,
+                   CAST(length(text) AS BIGINT) AS n_cp_raw,
+                   CAST(length(lower(nfc_normalize(text))) AS BIGINT)
+                       AS n_cp_norm
+            FROM d ORDER BY doc_id
         """,
         "multimodal_features": """
             SELECT doc_id AS media_id,

@@ -111,6 +111,11 @@ HEADLINE = [
     "repetition",
     "windowed_counts",
     "sessionize",
+    "graph_degrees",
+    "triangle_count",
+    "pagerank",
+    "triple_upsert",
+    "normalize_text",
 ]
 
 

@@ -1,0 +1,169 @@
+# -*- coding: utf-8 -*-
+"""Graph analytics over the constructed knowledge graph.
+
+The reference stops at emitting triples (ld_converter.py /
+pa_converter.py write the graph and exit); a web-scale triple factory
+additionally needs graph-shaped quality signals over what it built —
+degree profiles (hub-entity detection feeds the skew-handling story),
+PageRank-style authority for entity ranking, and triangle counts as a
+clustering-coefficient proxy for link-farm detection. All three are
+expressed as DataFrame joins/aggregations so Catalyst plans them:
+
+- ``degree_stats``: two partial aggregations + one outer merge — the
+  exchanges are on the node key and map-side combine keeps them small.
+- ``triangle_count``: the classic degree-orientation algorithm (every
+  edge directed from its lower-(degree, id) endpoint); each wedge is
+  enumerated at its LOWEST-degree vertex, so a hub of degree D costs
+  O(D) not O(D^2) — the difference between a plan that survives a
+  power-law web graph and one that dies on the first big hub.
+- ``pagerank``: fixed-iteration power method as a driver loop of
+  join+aggregate rounds, ``localCheckpoint`` per iteration to cut the
+  lineage (same discipline as cc.py). Dangling-node mass follows the
+  common simplification of redistributing only via the teleport term,
+  identically in the DuckDB oracle.
+
+Edges are (src, dst) strings — e.g. the URI->URI statements of a
+triple table (``obj_is_uri``) or a deterministic document link graph.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def link_edges(docs: DataFrame, n_hubs: int = 10) -> DataFrame:
+    """Deterministic synthetic web-link graph over the documents
+    table: every doc links to its two successors (mod N) plus one of
+    ``n_hubs`` hub pages (``doc_id % n_hubs``) — the hub edges give
+    the power-law skew a real crawl graph has, which is exactly what
+    the degree-oriented triangle counter and salted aggregations are
+    for. Pure arithmetic on doc_id, so any engine reproduces it."""
+    n = docs.select(F.count("*").alias("n"))
+    d = docs.select("doc_id").crossJoin(F.broadcast(n))
+    edges = (
+        d.select(
+            F.col("doc_id").alias("src"),
+            F.explode(
+                F.array(
+                    (F.col("doc_id") + 1) % F.col("n"),
+                    (F.col("doc_id") + 2) % F.col("n"),
+                    F.col("doc_id") % n_hubs,
+                )
+            ).alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates()
+    )
+    return edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+
+
+def degree_stats(edges: DataFrame) -> DataFrame:
+    """Per-node out/in/total degree: two map-side-combined partial
+    aggregations unioned then merged — one exchange on the node key,
+    no join of the raw edge list against itself."""
+    unioned = edges.select(
+        F.col("src").alias("node"), F.lit(1).alias("o"), F.lit(0).alias("i")
+    ).unionAll(
+        edges.select(F.col("dst").alias("node"), F.lit(0), F.lit(1))
+    )
+    return unioned.groupBy("node").agg(
+        F.sum("o").alias("out_degree"),
+        F.sum("i").alias("in_degree"),
+        (F.sum("o") + F.sum("i")).alias("degree"),
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Exact triangle count by degree orientation.
+
+    Undirect + dedup the edges, then orient every edge from its
+    lower-(degree, id) endpoint to the higher one. In the oriented
+    graph each triangle appears as exactly one wedge (a->b, a->c with
+    b<c in the order) closed by an oriented edge b->c, so:
+    wedge self-join on the low vertex + one semi-join against the
+    oriented edge set. Hubs sit on the HIGH side of their edges and
+    never enumerate their neighbor pairs — O(sum min(deg)) wedges
+    instead of O(sum deg^2). Returns a 1-row (n_triangles) frame."""
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .dropDuplicates()
+    )
+    deg = degree_stats(
+        und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    ).select("node", "degree")
+
+    with_deg = (
+        und.join(deg.withColumnRenamed("node", "a").withColumnRenamed(
+            "degree", "da"), "a")
+        .join(deg.withColumnRenamed("node", "b").withColumnRenamed(
+            "degree", "db"), "b")
+    )
+    lower_is_a = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    oriented = with_deg.select(
+        F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
+        F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
+    )
+
+    e1 = oriented.alias("e1")
+    e2 = oriented.alias("e2")
+    wedges = e1.join(e2, F.col("e1.lo") == F.col("e2.lo")).filter(
+        F.col("e1.hi") < F.col("e2.hi")
+    ).select(F.col("e1.hi").alias("u"), F.col("e2.hi").alias("v"))
+    # closing edge may be oriented either way between u and v
+    closed = wedges.join(
+        oriented.select(
+            F.least("lo", "hi").alias("u"), F.greatest("lo", "hi").alias("v")
+        ).dropDuplicates(),
+        ["u", "v"],
+        "left_semi",
+    )
+    return closed.agg(F.count("*").alias("n_triangles"))
+
+
+def pagerank(
+    edges: DataFrame, iters: int = 5, damping: float = 0.85
+) -> DataFrame:
+    """Fixed-iteration PageRank: rank' = (1-d)/N + d * sum over
+    in-neighbors of rank/out_degree. Nodes = union of both endpoint
+    sets; dangling mass is not redistributed (teleport term only),
+    matching the unrolled-CTE oracle term for term. Each iteration is
+    ONE shuffle (join edges->ranks on src, aggregate on dst) plus a
+    broadcast-sized node frame; ranks are localCheckpointed per
+    iteration so the lineage stays flat at any iteration count."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .dropDuplicates()
+    )
+    n_nodes = nodes.count()
+    outd = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
+    # out-degree is attached to the edge ONCE, outside the loop
+    contrib_edges = edges.join(outd, "src").localCheckpoint(eager=True)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
+    for _ in range(iters):
+        contribs = (
+            contrib_edges.join(
+                ranks.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("out_degree")).alias("flow"))
+        )
+        ranks = (
+            nodes.join(contribs.withColumnRenamed("dst", "node"), "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit((1.0 - damping) / n_nodes)
+                    + F.lit(damping) * F.coalesce(F.col("flow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

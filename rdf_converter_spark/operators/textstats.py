@@ -277,3 +277,50 @@ def ngram_counts(docs: DataFrame, n: int = 2, k: int = 20) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("gram").asc())
         .limit(k)
     )
+
+
+def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Unicode NFC normalization + casefold — the canonical first step
+    of any dedup/fingerprint chain over a real crawl, where the same
+    page arrives composed (U+00E9) from one host and decomposed
+    (e + U+0301) from another and every downstream hash treats them as
+    different documents.
+
+    Spark has no NFC builtin, so this is the one textstats operator
+    that leaves the JVM: an Arrow-batched pandas UDF around
+    ``unicodedata.normalize`` (stdlib, C-implemented) — still
+    vectorized per batch, no per-row Python round trips. Codepoint
+    counts before/after come from JVM ``length``.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # one struct-returning UDF call per batch — a separate length()
+    # over a second nfc() call would run the Python stage twice
+    # (CollapseProject inlines projections)
+    def _nfc(s):
+        import unicodedata
+
+        norm = s.map(
+            lambda t: unicodedata.normalize("NFC", t).lower()
+            if t is not None
+            else None
+        )
+        return pd.DataFrame(
+            {"norm_text": norm, "n_cp_norm": norm.str.len()}
+        )
+
+    # no type hints: the struct-returning Series -> DataFrame shape is
+    # only reachable through the legacy scalar pandas UDF constructor
+    nfc = pandas_udf(_nfc, "norm_text string, n_cp_norm long")
+
+    return docs.select(
+        "doc_id",
+        F.length(F.col(text_col)).cast("long").alias("n_cp_raw"),
+        nfc(F.col(text_col)).alias("_n"),
+    ).select(
+        "doc_id",
+        F.col("_n.norm_text").alias("norm_text"),
+        "n_cp_raw",
+        F.col("_n.n_cp_norm").alias("n_cp_norm"),
+    )
