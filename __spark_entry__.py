@@ -749,6 +749,25 @@ def q_normalize_text(spark, sf_dir):
     return normalize_text(docs).orderBy("doc_id")
 
 
+def q_line_dedup(spark, sf_dir):
+    """CCNet-style line-level dedup with 5-word chunks as lines:
+    corpus-frequency count on the chunk key, drop every chunk seen
+    more than once anywhere, reassemble in order."""
+    from rdf_converter_spark.operators.dedup import line_dedup
+
+    return line_dedup(_t(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def q_length_percentiles(spark, sf_dir):
+    """Per-language EXACT length percentiles at dyadic quantiles
+    (.25/.5/.75 interpolate integers to exactly-representable
+    doubles, so Spark percentile == DuckDB quantile_cont
+    bit-for-bit)."""
+    from rdf_converter_spark.operators.textstats import length_percentiles
+
+    return length_percentiles(_t(spark, sf_dir, "documents")).orderBy("lang")
+
+
 def _messy_urls(docs):
     """Deterministic messy URL variants over documents: 5 crawl-dup
     shapes (case, fragment, default port + trailing slash, utm chain,
@@ -897,6 +916,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank": q_pagerank,
         "triple_upsert": q_triple_upsert,
         "normalize_text": q_normalize_text,
+        "line_dedup": q_line_dedup,
+        "length_percentiles": q_length_percentiles,
     }
 
 
@@ -1776,6 +1797,32 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT * FROM delta WHERE obj IS NOT NULL
             ) ORDER BY subj, pred, obj
+        """,
+        "line_dedup": """
+            WITH w AS (SELECT doc_id, {w} AS ws FROM documents),
+            c AS (SELECT doc_id, CAST(i AS INT) AS chunk_no,
+                         array_to_string(ws[i*5+1:i*5+5], ' ') AS chunk
+                  FROM w, unnest(range(0, len(ws) // 5)) AS t(i)),
+            f AS (SELECT chunk, count(*) AS n FROM c GROUP BY chunk),
+            k AS (SELECT c.doc_id, c.chunk_no, c.chunk
+                  FROM c JOIN f USING (chunk) WHERE f.n = 1),
+            r AS (SELECT doc_id, count(*) AS n_kept,
+                         string_agg(chunk, ' ' ORDER BY chunk_no)
+                             AS new_text
+                  FROM k GROUP BY doc_id)
+            SELECT w.doc_id, CAST(len(ws) // 5 AS BIGINT) AS n_chunks,
+                   CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+                   coalesce(r.new_text, '') AS new_text
+            FROM w LEFT JOIN r USING (doc_id) ORDER BY doc_id
+        """.format(w=_WORDS),
+        "length_percentiles": """
+            SELECT lang, count(*) AS n_docs,
+                   min(n_chars) AS min_chars,
+                   round(quantile_cont(n_chars, 0.25), 6) AS p25,
+                   round(quantile_cont(n_chars, 0.5), 6) AS p50,
+                   round(quantile_cont(n_chars, 0.75), 6) AS p75,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "normalize_text": """
             WITH d AS (

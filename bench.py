@@ -116,6 +116,8 @@ HEADLINE = [
     "pagerank",
     "triple_upsert",
     "normalize_text",
+    "line_dedup",
+    "length_percentiles",
 ]
 
 

@@ -353,3 +353,65 @@ def near_dup_clusters(
         cluster.alias("cluster"),
         (F.col("doc_id") == cluster).alias("is_canonical"),
     )
+
+
+def line_dedup(docs: DataFrame, width: int = 5) -> DataFrame:
+    """CCNet-style line-level corpus dedup: split every document into
+    fixed-width word chunks (the "lines" of a corpus whose documents
+    have no newlines), drop every chunk whose exact text occurs more
+    than once ANYWHERE in the corpus, and reassemble what remains in
+    original order. Boilerplate — headers, footers, cookie banners —
+    repeats across pages and is exactly what this removes before
+    training.
+
+    Plan shape: posexplode -> partial-aggregated frequency count on
+    the chunk key -> join chunks to frequencies (both sides hashed on
+    the SAME chunk key, so the join reuses the aggregation's
+    partitioning) -> per-doc sort_array reassembly. Nothing all-pairs,
+    state per key is one counter; survives a crawl-scale corpus.
+
+    Returns every input doc: (doc_id, n_chunks, n_kept, new_text) —
+    docs shorter than ``width`` words have 0 chunks and empty text.
+    """
+    words = _words()
+    n_chunks = F.floor(F.size(words) / width).cast("int")
+    idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i * width + 1, width))
+    )
+    exploded = docs.select(
+        "doc_id",
+        n_chunks.alias("n_chunks"),
+        F.posexplode_outer(chunks).alias("chunk_no", "chunk"),
+    )
+    freq = (
+        exploded.filter(F.col("chunk").isNotNull())
+        .groupBy("chunk")
+        .agg(F.count("*").alias("f"))
+    )
+    kept = (
+        exploded.join(freq, "chunk")
+        .filter(F.col("f") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk_no", "chunk"))
+                    ),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+    )
+    base = docs.select("doc_id", n_chunks.cast("long").alias("n_chunks"))
+    return base.join(kept, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
+    )

@@ -324,3 +324,24 @@ def normalize_text(docs: DataFrame, text_col: str = "text") -> DataFrame:
         "n_cp_raw",
         F.col("_n.n_cp_norm").alias("n_cp_norm"),
     )
+
+
+def length_percentiles(docs: DataFrame) -> DataFrame:
+    """Per-language document-length distribution — the corpus audit
+    behind any length-filter threshold choice. EXACT interpolated
+    percentiles (``percentile``, not approx_percentile) at the dyadic
+    quantiles .25/.5/.75: integer inputs interpolated at quarter
+    fractions are exactly representable doubles, so the DuckDB
+    ``quantile_cont`` twin matches bit-for-bit. One partial-aggregated
+    exchange on the (tiny-cardinality) language key; at crawl scale
+    exact per-group percentiles sort only within each language
+    partition. Swap to approx_percentile when the per-language row
+    count no longer fits a task's sort budget."""
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.round(F.expr("percentile(n_chars, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(n_chars, 0.75)"), 6).alias("p75"),
+        F.max("n_chars").alias("max_chars"),
+    )

@@ -150,3 +150,43 @@ def test_normalize_text_composes_and_casefolds(spark):
     assert got[1]["n_cp_raw"] == 10 and got[1]["n_cp_norm"] == 9
     assert got[2]["norm_text"] == "plain"
     assert got[2]["n_cp_raw"] == got[2]["n_cp_norm"] == 5
+
+
+def test_line_dedup_drops_repeated_chunks(spark):
+    from rdf_converter_spark.operators.dedup import line_dedup
+
+    boiler = "one two three four five"  # the repeated "line"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " aa bb cc dd ee"),
+            (2, boiler + " ff gg hh ii jj"),
+            (3, "kk ll mm nn oo pp qq rr ss tt"),
+            (4, "short text"),  # < width words -> 0 chunks
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(docs, width=5).collect()}
+    # boilerplate chunk appears in docs 1+2 -> dropped from BOTH
+    assert got[1]["new_text"] == "aa bb cc dd ee"
+    assert got[2]["new_text"] == "ff gg hh ii jj"
+    assert (got[1]["n_chunks"], got[1]["n_kept"]) == (2, 1)
+    # unique doc keeps everything, in original order
+    assert got[3]["new_text"] == "kk ll mm nn oo pp qq rr ss tt"
+    assert (got[3]["n_chunks"], got[3]["n_kept"]) == (2, 2)
+    # sub-width doc survives with zero chunks, empty text
+    assert (got[4]["n_chunks"], got[4]["n_kept"], got[4]["new_text"]) == (
+        0, 0, "",
+    )
+
+
+def test_length_percentiles_exact(spark):
+    from rdf_converter_spark.operators.textstats import length_percentiles
+
+    docs = spark.createDataFrame(
+        [(i, "x", "en", "s", n) for i, n in enumerate([10, 20, 30, 40])],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = {x["lang"]: x for x in length_percentiles(docs).collect()}["en"]
+    # linear interpolation over [10,20,30,40]
+    assert (r["p25"], r["p50"], r["p75"]) == (17.5, 25.0, 32.5)
+    assert (r["min_chars"], r["max_chars"], r["n_docs"]) == (10, 40, 4)
