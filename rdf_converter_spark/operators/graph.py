@@ -59,14 +59,27 @@ def link_edges(docs: DataFrame, n_hubs: int = 10) -> DataFrame:
 
 
 def degree_stats(edges: DataFrame) -> DataFrame:
-    """Per-node out/in/total degree: two map-side-combined partial
-    aggregations unioned then merged — one exchange on the node key,
-    no join of the raw edge list against itself."""
+    """Per-node out/in/total degree in ONE pass over the edge list:
+    each edge explodes to its two endpoint contributions (a union of
+    two selects would re-execute the whole edge-building subtree per
+    branch — twice the scan), then one map-side-combined exchange on
+    the node key."""
     unioned = edges.select(
-        F.col("src").alias("node"), F.lit(1).alias("o"), F.lit(0).alias("i")
-    ).unionAll(
-        edges.select(F.col("dst").alias("node"), F.lit(0), F.lit(1))
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src").alias("node"),
+                    F.lit(1).alias("o"),
+                    F.lit(0).alias("i"),
+                ),
+                F.struct(
+                    F.col("dst").alias("node"),
+                    F.lit(0).alias("o"),
+                    F.lit(1).alias("i"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.node", "e.o", "e.i")
     return unioned.groupBy("node").agg(
         F.sum("o").alias("out_degree"),
         F.sum("i").alias("in_degree"),
@@ -91,6 +104,10 @@ def triangle_count(edges: DataFrame) -> DataFrame:
         )
         .filter(F.col("a") != F.col("b"))
         .dropDuplicates()
+        # consumed three times (degree pass, orientation join, closing
+        # semi-join) — materialize once instead of re-running the
+        # upstream scan+distinct per consumer
+        .localCheckpoint(eager=True)
     )
     deg = degree_stats(
         und.select(F.col("a").alias("src"), F.col("b").alias("dst"))
@@ -108,7 +125,7 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     oriented = with_deg.select(
         F.when(lower_is_a, F.col("a")).otherwise(F.col("b")).alias("lo"),
         F.when(lower_is_a, F.col("b")).otherwise(F.col("a")).alias("hi"),
-    )
+    ).localCheckpoint(eager=True)  # self-joined twice + closing join
 
     e1 = oriented.alias("e1")
     e2 = oriented.alias("e2")
@@ -140,6 +157,8 @@ def pagerank(
         edges.select(F.col("src").alias("node"))
         .unionAll(edges.select(F.col("dst").alias("node")))
         .dropDuplicates()
+        # re-read every iteration of the loop below
+        .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
     outd = edges.groupBy("src").agg(F.count("*").alias("out_degree"))
