@@ -88,3 +88,51 @@ def test_salted_repartition_balances_hub_key(spark):
     ]
     assert len(sizes) > 4
     assert max(sizes) < 0.25 * sum(sizes), sizes
+
+
+def test_streaming_upsert_store(spark, corpus, tmp_path):
+    """Maintained-store streaming: a re-delivered (re-crawled,
+    unchanged) page batch must leave the bucketed triple store
+    IDENTICAL (upsert replaces each (subj, pred) group with the same
+    content) — not grow it like the append sink; and the final store
+    must equal the batch extraction's distinct triple set."""
+    from pyspark.sql import functions as F
+
+    from rdf_converter_spark.pipelines.runner import build_triples_extraction
+    from rdf_converter_spark.sources.route import route
+    from rdf_converter_spark.streaming.incremental import (
+        stream_triples_upsert,
+    )
+
+    src = str(tmp_path / "incoming")
+    os.makedirs(src)
+    parts = sorted(glob.glob(os.path.join(corpus, "web_pages", "*.parquet")))
+    shutil.copy(parts[0], src)
+
+    out = str(tmp_path / "store_out")
+    store = os.path.join(out, "triples_store")
+    q = stream_triples_upsert(spark, src, out)
+    q.awaitTermination(300)
+    # batch triple set over the same pages == the maintained store
+    batch = build_triples_extraction(
+        spark, route(spark.read.parquet(os.path.join(src, "*.parquet")))
+    ).dropDuplicates()
+    cols = [c for c in batch.columns]
+    # materialize NOW: the second stream run below replaces the
+    # store's files and a lazy plan over them would fail to re-read
+    rows1 = sorted(
+        map(tuple, spark.read.parquet(store).select(cols).collect())
+    )
+    n1 = len(rows1)
+    assert n1 > 1000
+    assert rows1 == sorted(map(tuple, batch.collect()))
+
+    # re-delivery: same content under a new name -> store unchanged
+    shutil.copy(parts[0], os.path.join(src, "recrawl.parquet"))
+    q = stream_triples_upsert(spark, src, out)
+    q.awaitTermination(300)
+    rows2 = sorted(
+        map(tuple, spark.read.parquet(store).select(cols).collect())
+    )
+    assert len(rows2) == n1
+    assert rows2 == rows1
