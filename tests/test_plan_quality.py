@@ -274,3 +274,48 @@ def test_tfidf_vocab_join_not_hinted_broadcast(spark):
     assert "count(1) AS _n_docs" in below.split("Aggregate")[1], analyzed
     assert "approx" not in hints[0]  # plain strategy hint
     q.collect()  # still executes (crossJoin of the 1-row side)
+
+
+def test_normalize_text_single_arrow_crossing(spark):
+    """NFC normalization: exactly ONE ArrowEvalPython (the struct-
+    returning UDF computes text + codepoint count together), never a
+    row-at-a-time BatchEvalPython."""
+    from rdf_converter_spark.operators.textstats import normalize_text
+
+    docs = spark.createDataFrame(
+        [(1, "abc")], "doc_id long, text string"
+    )
+    plan = _plan(normalize_text(docs))
+    assert "BatchEvalPython" not in plan
+    assert plan.count("ArrowEvalPython") == 1, plan
+
+
+def test_line_dedup_freq_join_no_nested_loop(spark):
+    """The chunk-frequency join must be a hash join on the chunk key
+    (both sides partitioned identically), never a nested-loop — the
+    corpus joins against itself at crawl scale."""
+    from rdf_converter_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(i, "a b c d e f g h i j") for i in range(10)],
+        "doc_id long, text string",
+    )
+    plan = _plan(line_dedup(docs))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_degree_stats_single_pass(spark):
+    """degree_stats must read its input ONCE (explode, not a union of
+    two selects that would duplicate the upstream subtree) and
+    partially aggregate before the exchange."""
+    from pyspark.sql import functions as F
+
+    from rdf_converter_spark.operators.graph import degree_stats
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long"
+    )
+    plan = _plan(degree_stats(edges))
+    assert plan.count("Generate explode") == 1, plan
+    assert "Union" not in plan, plan
+    assert "partial_sum" in plan, plan
