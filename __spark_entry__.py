@@ -768,6 +768,42 @@ def q_length_percentiles(spark, sf_dir):
     return length_percentiles(_t(spark, sf_dir, "documents")).orderBy("lang")
 
 
+BM25_QUERY = ["data", "merge", "window"]
+
+
+def q_corpus_rollup(spark, sf_dir):
+    """OLAP rollup over (lang, source) in one pass; grouping_id
+    disambiguates rollup subtotal rows from genuine NULL keys."""
+    from rdf_converter_spark.operators.textstats import corpus_rollup
+
+    return corpus_rollup(_t(spark, sf_dir, "documents")).select(
+        "lang",
+        "source",
+        F.col("gid").cast("long").alias("gid"),
+        "n_docs",
+        "total_chars",
+    ).orderBy("gid", "lang", "source")
+
+
+def q_bm25(spark, sf_dir):
+    """BM25 scores for a fixed 3-term query, rational idf (same
+    integer trick as tfidf_topk), constants written so both engines
+    evaluate the identical IEEE expression tree."""
+    from rdf_converter_spark.operators.textstats import bm25_score
+
+    return bm25_score(
+        _t(spark, sf_dir, "documents"), BM25_QUERY
+    ).orderBy("doc_id")
+
+
+def q_event_deltas(spark, sf_dir):
+    """Per-user lag window: value delta + inter-event gap, (ts,
+    event_id) ordering for equal-timestamp determinism."""
+    from rdf_converter_spark.operators.events import event_deltas
+
+    return event_deltas(_t(spark, sf_dir, "events")).orderBy("event_id")
+
+
 def _messy_urls(docs):
     """Deterministic messy URL variants over documents: 5 crawl-dup
     shapes (case, fragment, default port + trailing slash, utm chain,
@@ -918,6 +954,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "line_dedup": q_line_dedup,
         "length_percentiles": q_length_percentiles,
+        "corpus_rollup": q_corpus_rollup,
+        "bm25": q_bm25,
+        "event_deltas": q_event_deltas,
     }
 
 
@@ -1823,6 +1862,49 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.75), 6) AS p75,
                    max(n_chars) AS max_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "corpus_rollup": """
+            SELECT lang, source,
+                   CAST(GROUPING(lang, source) AS BIGINT) AS gid,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM documents GROUP BY ROLLUP (lang, source)
+            ORDER BY gid, lang, source
+        """,
+        "bm25": """
+            WITH w AS (SELECT doc_id, {w} AS ws FROM documents),
+            m AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl,
+                         unnest(list_filter(ws,
+                             t -> t IN ('data', 'merge', 'window')))
+                             AS term
+                  FROM w),
+            tf AS (SELECT doc_id, term, count(*) AS tf,
+                          first(dl) AS dl
+                   FROM m GROUP BY doc_id, term),
+            df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            st AS (SELECT count(*) AS n_docs,
+                          avg(len({w})) AS avgdl
+                   FROM documents)
+            SELECT doc_id,
+                   round(sum(
+                       CAST(CAST(n_docs * 1000000 AS BIGINT) // df
+                            AS DOUBLE)
+                       * (tf * (1.2e0 + 1e0))
+                       / (tf + 1.2e0
+                          * (0.25e0 + 0.75e0 * dl / avgdl))
+                   ), 6) AS score
+            FROM tf JOIN df USING (term) CROSS JOIN st
+            GROUP BY doc_id ORDER BY doc_id
+        """.format(w=_WORDS),
+        "event_deltas": """
+            SELECT event_id, user_id,
+                   round(value - lag(value) OVER w, 6) AS value_delta,
+                   CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT)
+                       AS gap_seconds
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
         """,
         "normalize_text": """
             WITH d AS (

@@ -118,6 +118,9 @@ HEADLINE = [
     "normalize_text",
     "line_dedup",
     "length_percentiles",
+    "corpus_rollup",
+    "bm25",
+    "event_deltas",
 ]
 
 

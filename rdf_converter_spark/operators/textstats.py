@@ -345,3 +345,62 @@ def length_percentiles(docs: DataFrame) -> DataFrame:
         F.round(F.expr("percentile(n_chars, 0.75)"), 6).alias("p75"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+def corpus_rollup(docs: DataFrame) -> DataFrame:
+    """OLAP rollup over (lang, source): doc counts and char totals at
+    every level — per (lang, source), per lang subtotal, grand total —
+    in ONE pass (Spark expands the grouping sets map-side; no
+    self-union of three aggregations). ``grouping_id`` disambiguates a
+    genuine NULL group key from a rollup subtotal row."""
+    return docs.rollup("lang", "source").agg(
+        F.grouping_id().alias("gid"),
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def bm25_score(
+    docs: DataFrame, terms: list[str], k1: float = 1.2, b: float = 0.75
+) -> DataFrame:
+    """BM25 relevance of every matching document for a fixed query
+    term set. The idf uses the same RATIONAL form as ``tfidf_topk``
+    (``N * 10^6 // df`` — a float ``ln((N-df+.5)/(df+.5))`` ranks the
+    same but libm last-ulp differences break cross-engine equality);
+    the saturation term is the standard tf*(k1+1) / (tf + k1*(1 - b +
+    b*dl/avgdl)). Returns ALL docs containing >= 1 query term (a
+    top-k cut on a float boundary is not deterministic across
+    engines; cut downstream on the rounded score).
+
+    Exchanges: one (doc, term) tf aggregate over the exploded match
+    list + two broadcast-sized scalar aggregates (corpus N + avgdl,
+    df per query term — bounded by the query vocabulary, which unlike
+    the corpus vocabulary IS broadcastable)."""
+    words = _words()
+    dl = F.size(words).cast("double")
+    matches = docs.select(
+        "doc_id",
+        dl.alias("dl"),
+        F.explode(
+            F.filter(words, lambda w: w.isin(list(terms)))
+        ).alias("term"),
+    )
+    tf = matches.groupBy("doc_id", "term").agg(
+        F.count("*").alias("tf"), F.first("dl").alias("dl")
+    )
+    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
+    stats = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.avg(F.size(words)).alias("avgdl"),
+    )
+    idf = F.expr("CAST(n_docs * 1000000 AS BIGINT) DIV df").cast("double")
+    sat = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf")
+        + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(idf * sat), 6).alias("score"))
+    )

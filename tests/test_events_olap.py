@@ -1,0 +1,66 @@
+# -*- coding: utf-8 -*-
+"""Batch event windows (operators/events.py), OLAP rollup and BM25
+(operators/textstats.py) on hand-computable inputs."""
+
+from datetime import datetime
+
+from rdf_converter_spark.operators.events import event_deltas
+from rdf_converter_spark.operators.textstats import bm25_score, corpus_rollup
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_event_deltas(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01T10:00:00"), 7, "c", 10.0, ""),
+            (2, _ts("2024-01-01T10:00:30"), 7, "c", 13.5, ""),
+            (3, _ts("2024-01-01T10:02:00"), 7, "c", 13.0, ""),
+            (4, _ts("2024-01-01T09:00:00"), 8, "c", 1.0, ""),
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        "value double, props string",
+    )
+    got = {r["event_id"]: r for r in event_deltas(ev).collect()}
+    assert got[1]["value_delta"] is None and got[1]["gap_seconds"] is None
+    assert got[2]["value_delta"] == 3.5 and got[2]["gap_seconds"] == 30
+    assert got[3]["value_delta"] == -0.5 and got[3]["gap_seconds"] == 90
+    assert got[4]["value_delta"] is None  # other user's first event
+
+
+def test_corpus_rollup_levels(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "x", "en", "web", 10),
+            (2, "x", "en", "book", 20),
+            (3, "x", "fr", "web", 30),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    rows = corpus_rollup(docs).collect()
+    by_key = {(r["lang"], r["source"]): r for r in rows}
+    assert by_key[("en", "web")]["n_docs"] == 1
+    assert by_key[("en", None)]["total_chars"] == 30  # lang subtotal
+    assert by_key[(None, None)]["total_chars"] == 60  # grand total
+    assert by_key[(None, None)]["gid"] == 3 and by_key[("en", None)]["gid"] == 1
+    assert len(rows) == 3 + 2 + 1
+
+
+def test_bm25_orders_by_saturated_tf_and_rarity(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "data data data other words here"),  # common term, high tf
+            (2, "merge appears once in this doc"),  # rare term
+            (3, "data once plus filler filler filler"),
+            (4, "no query words at all right here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["score"] for r in
+           bm25_score(docs, ["data", "merge"]).collect()}
+    assert 4 not in got  # no match -> no row
+    assert got[2] > got[3]  # rare term beats one hit of a common one
+    assert got[1] > got[3]  # higher tf beats lower tf, same term
+    assert all(v > 0 for v in got.values())
