@@ -776,9 +776,12 @@ def q_corpus_rollup(spark, sf_dir):
     disambiguates rollup subtotal rows from genuine NULL keys."""
     from rdf_converter_spark.operators.textstats import corpus_rollup
 
+    # subtotal rows get a '(all)' sentinel instead of NULL group keys:
+    # NULL sorts differently across engines/comparators and gid
+    # already disambiguates a genuine NULL key from a rollup level
     return corpus_rollup(_t(spark, sf_dir, "documents")).select(
-        "lang",
-        "source",
+        F.coalesce("lang", F.lit("(all)")).alias("lang"),
+        F.coalesce("source", F.lit("(all)")).alias("source"),
         F.col("gid").cast("long").alias("gid"),
         "n_docs",
         "total_chars",
@@ -1864,7 +1867,8 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "corpus_rollup": """
-            SELECT lang, source,
+            SELECT coalesce(lang, '(all)') AS lang,
+                   coalesce(source, '(all)') AS source,
                    CAST(GROUPING(lang, source) AS BIGINT) AS gid,
                    count(*) AS n_docs,
                    CAST(sum(n_chars) AS BIGINT) AS total_chars

@@ -37,7 +37,12 @@ def _norm(v):
 
 
 def _rows(recs):
-    return sorted(tuple(_norm(v) for v in r) for r in recs)
+    # null-safe sort key: None must order stably against any value
+    # (rollup-style subtotal rows carry NULL group keys)
+    return sorted(
+        (tuple(_norm(v) for v in r) for r in recs),
+        key=lambda t: tuple((v is None, str(v)) for v in t),
+    )
 
 
 def _entry_module():
