@@ -11,11 +11,14 @@ pair it mentions (multi-valued predicates replace as a group), and
 appends pairs the base has never seen. Deletes ride the same path as
 an empty group via explicit tombstones (obj IS NULL rows).
 
-Plan shape: one left-anti join of base against the delta's distinct
-key pairs + a union — both exchanges hash on (subj, pred), which is
-the natural bucketing key for a stored triple table, so with the base
-bucketed by (subj, pred) the anti join is shuffle-free on the big
-side and only the (small) delta moves.
+Plan shape: the store side NEVER shuffles. The delta's distinct key
+pairs are a bounded per-batch set, so the anti-join broadcasts them —
+one scan of the base, zero exchanges on it (plan-asserted in
+test_plan_quality) — and deduplication is scoped to the delta: the
+store is duplicate-free by this function's own invariant, and kept
+rows (key NOT in delta) can never collide with live delta rows (key
+IN delta), so a global distinct over 10^12 stored triples would be a
+full reshuffle buying nothing.
 """
 
 from __future__ import annotations
@@ -26,15 +29,23 @@ from pyspark.sql import functions as F
 KEY = ["subj", "pred"]
 
 
-def upsert_triples(base: DataFrame, delta: DataFrame) -> DataFrame:
+def upsert_triples(
+    base: DataFrame, delta: DataFrame, broadcast_delta_keys: bool = True
+) -> DataFrame:
     """Merge a delta batch into a base triple table.
 
     Rows in ``delta`` with a NULL ``obj`` are tombstones: they delete
     the whole (subj, pred) group from the base and contribute no rows
     themselves. All frames carry at least (subj, pred, obj); any
     extra columns (lang/datatype/graph) ride along from whichever
-    side survives."""
+    side survives. ``base`` must be duplicate-free — the invariant
+    the function itself maintains, so it holds for any store built
+    through it. Set ``broadcast_delta_keys=False`` only for bulk
+    backfills whose key set genuinely exceeds broadcast size; the
+    anti-join then shuffles both sides on the key."""
     keys = delta.select(*KEY).dropDuplicates()
+    if broadcast_delta_keys:
+        keys = F.broadcast(keys)
     kept = base.join(keys, KEY, "left_anti")
-    live = delta.filter(F.col("obj").isNotNull())
-    return kept.unionByName(live).dropDuplicates()
+    live = delta.filter(F.col("obj").isNotNull()).dropDuplicates()
+    return kept.unionByName(live)

@@ -319,3 +319,61 @@ def test_degree_stats_single_pass(spark):
     assert plan.count("Generate explode") == 1, plan
     assert "Union" not in plan, plan
     assert "partial_sum" in plan, plan
+
+
+def test_upsert_store_side_never_shuffles(spark):
+    """merge.py contract: the anti-join broadcasts the bounded delta
+    key set, so the 10^12-row store side has NO exchange; dedup is
+    scoped to the delta (a global distinct would reshuffle the whole
+    store)."""
+    from pyspark.sql import functions as F
+
+    from rdf_converter_spark.operators.merge import upsert_triples
+
+    base = spark.range(5000).select(
+        F.concat(F.lit("s"), F.col("id")).alias("subj"),
+        F.lit("p").alias("pred"),
+        F.concat(F.lit("o"), F.col("id")).alias("obj"),
+    )
+    delta = base.limit(10).withColumn("obj", F.lit("NEW"))
+    plan = _plan(upsert_triples(base, delta))
+    anti = plan[plan.index("LeftAnti"):]
+    assert "BroadcastHashJoin" in plan[:plan.index("LeftAnti") + 30], plan
+    # the only hashpartitioning exchange allowed is the delta-side
+    # distinct; the base branch (below the anti join) must have none
+    assert "Exchange hashpartitioning" not in anti.split("Scan")[0], plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_bucketed_tables_join_shuffle_free(spark, tmp_path):
+    """Co-located joins: two tables bucketed on the join key merge
+    with ZERO exchanges — the store layout that lets repeated
+    entity-level joins (linking, canonicalization, upsert splits)
+    run shuffle-free at any scale."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    tag = uuid.uuid4().hex[:8]
+    a_t, b_t = "ba_" + tag, "bb_" + tag
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        rows = spark.range(2000).select(
+            F.concat(F.lit("s"), F.col("id")).alias("subj"),
+            F.col("id").alias("v"),
+        )
+        for name, df in ((a_t, rows), (b_t, rows)):
+            (
+                df.write.bucketBy(8, "subj").sortBy("subj")
+                .mode("overwrite").saveAsTable(name)
+            )
+        j = spark.table(a_t).join(spark.table(b_t), "subj")
+        plan = _plan(j)
+        assert "Exchange" not in plan, plan
+        assert plan.count("SelectedBucketsCount: 8 out of 8") == 2, plan
+        assert j.count() == 2000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS " + a_t)
+        spark.sql("DROP TABLE IF EXISTS " + b_t)
