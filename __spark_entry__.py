@@ -807,6 +807,54 @@ def q_event_deltas(spark, sf_dir):
     return event_deltas(_t(spark, sf_dir, "events")).orderBy("event_id")
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-shingle estimate per language next to the
+    exact count: m=64 registers of bounded state vs countDistinct's
+    full-value shuffle; md5 register mapping + a generated bit-length
+    CASE ladder shared verbatim with the oracle keep it bit-exact
+    across engines."""
+    from rdf_converter_spark.operators.textstats import hll_distinct
+
+    return hll_distinct(_t(spark, sf_dir, "documents")).orderBy("lang")
+
+
+def q_star_join_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped star join (lineitem⋈orders⋈customer⋈supplier⋈
+    nation⋈region, same-nation constraint): the multi-join surface —
+    dims broadcast, the two fact exchanges hash on the join keys,
+    Catalyst free to reorder."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    dims = F.broadcast(
+        n.join(r, n["n_regionkey"] == r["r_regionkey"]).filter(
+            F.col("r_name") == "ASIA"
+        ).select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(
+            s,
+            (li["l_suppkey"] == s["s_suppkey"])
+            & (c["c_nationkey"] == s["s_nationkey"]),
+        )
+        .join(dims, s["s_nationkey"] == dims["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                2,
+            ).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+        .orderBy(F.col("revenue").desc(), "n_name")
+    )
+
+
 def _messy_urls(docs):
     """Deterministic messy URL variants over documents: 5 crawl-dup
     shapes (case, fragment, default port + trailing slash, utm chain,
@@ -960,6 +1008,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": q_corpus_rollup,
         "bm25": q_bm25,
         "event_deltas": q_event_deltas,
+        "hll_distinct": q_hll_distinct,
+        "star_join_revenue": q_star_join_revenue,
     }
 
 
@@ -1865,6 +1915,48 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.75), 6) AS p75,
                    max(n_chars) AS max_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "hll_distinct": """
+            WITH w0 AS (SELECT lang, {w} AS ws FROM documents),
+            w AS (SELECT lang, unnest(list_transform(
+                      range(0, greatest(len(ws) - 3, 0) + 1),
+                      i -> array_to_string(ws[i+1:i+3], ' '))) AS item
+                  FROM w0),
+            d AS (SELECT DISTINCT lang, item FROM w),
+            h AS (SELECT lang,
+                         CAST('0x' || substr(md5(item), 1, 15) AS BIGINT)
+                             AS v
+                  FROM d),
+            r AS (SELECT lang, v % 64 AS bucket, v // 64 AS rest FROM h),
+            reg AS (SELECT lang, bucket, max(55 - ({bl})) AS mj
+                    FROM r GROUP BY lang, bucket),
+            est AS (SELECT lang,
+                           round(((0.7213e0 / (1e0 + 1.079e0 / 64e0))
+                                  * 4096e0)
+                                 / (sum(power(2e0, -mj))
+                                    + (64 - count(*))), 6) AS n_est
+                    FROM reg GROUP BY lang),
+            ex AS (SELECT lang, count(*) AS n_exact FROM d GROUP BY lang)
+            SELECT ex.lang, ex.n_exact, est.n_est
+            FROM ex JOIN est USING (lang) ORDER BY lang
+        """.format(w=_WORDS, bl=__import__(
+            "rdf_converter_spark.operators.textstats",
+            fromlist=["_bitlen_case"])._bitlen_case("rest")),
+        "star_join_revenue": """
+            SELECT n_name,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2)
+                       AS revenue,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN supplier ON l_suppkey = s_suppkey
+                         AND c_nationkey = s_nationkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'ASIA'
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name
         """,
         "corpus_rollup": """
             SELECT coalesce(lang, '(all)') AS lang,

@@ -121,6 +121,8 @@ HEADLINE = [
     "corpus_rollup",
     "bm25",
     "event_deltas",
+    "hll_distinct",
+    "star_join_revenue",
 ]
 
 

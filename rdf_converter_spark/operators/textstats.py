@@ -404,3 +404,76 @@ def bm25_score(
         .groupBy("doc_id")
         .agg(F.round(F.sum(idf * sat), 6).alias("score"))
     )
+
+
+def _bitlen_case(col: str, bits: int = 54) -> str:
+    """SQL CASE ladder computing bit_length of a non-negative integer
+    column — the SAME generated text runs in Spark ``expr`` and the
+    DuckDB oracle, so no engine-specific log2 (whose last-ulp libm
+    differences make floor(log2(2^k - 1)) flip to k) is involved."""
+    return (
+        "CASE "
+        + " ".join(
+            "WHEN %s >= %d THEN %d" % (col, 1 << (k - 1), k)
+            for k in range(bits, 0, -1)
+        )
+        + " ELSE 0 END"
+    )
+
+
+def hll_distinct(docs: DataFrame, shingle: int = 3, m: int = 64) -> DataFrame:
+    """Per-language HyperLogLog distinct-shingle estimate NEXT TO the
+    exact count — the bounded-memory sketch a 10^12-doc corpus audit
+    uses where countDistinct's full shuffle of every distinct value
+    won't fit. Register state is m=64 counters per language,
+    REGARDLESS of corpus size; the exact twin is computed here only
+    to exhibit the error and for the oracle.
+
+    Deterministic md5 register mapping (60-bit value: low 6 bits pick
+    the bucket, the top 54 feed the leading-zero rank via a generated
+    CASE ladder shared verbatim with the DuckDB twin) and the raw HLL
+    estimator with dyadic 2^-M terms — every arithmetic step is
+    engine-exact, so the oracle matches bit-for-bit. Raw regime only:
+    valid when n >> 2.5*m (small-range linear counting needs ln,
+    which is not cross-engine-exact)."""
+    words = _words()
+    idx = F.sequence(
+        F.lit(0), F.greatest(F.size(words) - shingle, F.lit(0))
+    )
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, shingle))
+    )
+    items = docs.select(
+        "lang", F.explode(grams).alias("item")
+    ).dropDuplicates()
+    hashed = items.select(
+        "lang",
+        F.conv(F.substring(F.md5("item"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("v"),
+    )
+    # integer DIV: float division of a 60-bit value loses bits past
+    # 2^53 and floor()s to the wrong register rank
+    r = hashed.select(
+        "lang",
+        (F.col("v") % m).alias("bucket"),
+        F.expr("v DIV %d" % m).alias("rest"),
+    )
+    reg = r.groupBy("lang", "bucket").agg(
+        F.max(55 - F.expr(_bitlen_case("rest"))).alias("mj")
+    )
+    alpha_m2 = (0.7213 / (1.0 + 1.079 / float(m))) * float(m * m)
+    est = reg.groupBy("lang").agg(
+        F.round(
+            F.lit(alpha_m2)
+            / (
+                F.sum(F.pow(F.lit(2.0), -F.col("mj")))
+                + (m - F.count("*"))
+            ),
+            6,
+        ).alias("n_est")
+    )
+    exact = items.groupBy("lang").agg(
+        F.count("*").alias("n_exact")
+    )
+    return exact.join(est, "lang")

@@ -64,3 +64,20 @@ def test_bm25_orders_by_saturated_tf_and_rarity(spark):
     assert got[2] > got[3]  # rare term beats one hit of a common one
     assert got[1] > got[3]  # higher tf beats lower tf, same term
     assert all(v > 0 for v in got.values())
+
+
+def test_hll_estimate_within_expected_error(spark):
+    """m=64 registers -> ~13% standard error; assert a generous 3-
+    sigma bound on a synthetic high-cardinality corpus, and that the
+    exact twin is exact."""
+    from rdf_converter_spark.operators.textstats import hll_distinct
+
+    docs = spark.createDataFrame(
+        [(i, " ".join("w%d" % (i * 40 + j) for j in range(40)), "xx")
+         for i in range(100)],
+        "doc_id long, text string, lang string",
+    )
+    r = hll_distinct(docs).collect()[0]
+    # 100 docs x 38 unique 3-shingles, zero overlap across docs
+    assert r["n_exact"] == 3800
+    assert abs(r["n_est"] - r["n_exact"]) / r["n_exact"] < 0.4
