@@ -855,6 +855,31 @@ def q_star_join_revenue(spark, sf_dir):
     )
 
 
+MIX_WEIGHTS = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Pretraining dataset mixing: per-source sampling weights via the
+    content-stable hash-bucket rule (pure filter — zero exchanges);
+    sources outside the mixture spec are dropped."""
+    from rdf_converter_spark.operators.curation import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"), MIX_WEIGHTS
+    ).select("doc_id", "source").orderBy("doc_id")
+
+
+def q_sequence_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing into 2048-token context
+    windows: exclusive prefix sum of token counts, integer DIV for
+    the bin (float division mis-bins past 2^53 total tokens)."""
+    from rdf_converter_spark.operators.curation import sequence_pack
+
+    return sequence_pack(
+        _t(spark, sf_dir, "documents"), capacity=2048
+    ).orderBy("doc_id")
+
+
 def _messy_urls(docs):
     """Deterministic messy URL variants over documents: 5 crawl-dup
     shapes (case, fragment, default port + trailing slash, utm chain,
@@ -1010,6 +1035,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_deltas": q_event_deltas,
         "hll_distinct": q_hll_distinct,
         "star_join_revenue": q_star_join_revenue,
+        "mixture_sample": q_mixture_sample,
+        "sequence_pack": q_sequence_pack,
     }
 
 
@@ -1916,6 +1943,38 @@ def oracle_sql() -> dict[str, str]:
                    max(n_chars) AS max_chars
             FROM documents GROUP BY lang ORDER BY lang
         """,
+        "mixture_sample": """
+            SELECT doc_id, source FROM documents
+            WHERE CAST('0x' || substr(
+                      md5(CAST(doc_id AS VARCHAR) || '|mix1'), 1, 8)
+                  AS BIGINT) % 10000
+                  < CASE source
+                      WHEN 'src0' THEN 10000
+                      WHEN 'src1' THEN 5000
+                      WHEN 'src2' THEN 2500
+                      WHEN 'src3' THEN 1000
+                      ELSE 0
+                    END
+            ORDER BY doc_id
+        """,
+        "sequence_pack": """
+            WITH t AS (
+                SELECT doc_id, CAST(len({w}) AS BIGINT) AS n_tokens
+                FROM documents
+            ),
+            c AS (
+                SELECT doc_id, n_tokens,
+                       coalesce(sum(n_tokens) OVER (
+                           ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING), 0) AS cum
+                FROM t
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(cum // 2048 AS BIGINT) AS bin,
+                   CAST(cum % 2048 AS BIGINT) AS offset
+            FROM c ORDER BY doc_id
+        """.format(w=_WORDS),
         "hll_distinct": """
             WITH w0 AS (SELECT lang, {w} AS ws FROM documents),
             w AS (SELECT lang, unnest(list_transform(

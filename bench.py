@@ -123,6 +123,8 @@ HEADLINE = [
     "event_deltas",
     "hll_distinct",
     "star_join_revenue",
+    "mixture_sample",
+    "sequence_pack",
 ]
 
 

@@ -134,3 +134,74 @@ def decontaminate(
             (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
         )
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict,
+    group_col: str = "source",
+    key: str = "doc_id",
+    salt: str = "mix1",
+    buckets: int = 10000,
+) -> DataFrame:
+    """Dataset mixing: keep each group at its sampling weight (the
+    per-source mixture a pretraining run specifies — wiki 3x-epoch'd,
+    crawl downsampled). Same content-stable hash-bucket rule as
+    deterministic_split: a row's fate depends only on its own key, so
+    the mixture is reproducible, growth-stable, and never reshuffles
+    the corpus (pure filter — no exchange at all). Groups missing
+    from ``weights`` default to weight 0 (dropped): an explicit
+    mixture spec is a whitelist. Weights are in [0, 1]; epoch
+    multipliers > 1 belong to the loader, not the filter."""
+    for g, w in weights.items():
+        if not 0.0 <= w <= 1.0:
+            raise ValueError("weight out of [0,1] for %r: %r" % (g, w))
+    b = _hash_key(F.col(key), salt) % buckets
+    thresh = F.lit(0)
+    for g, w in sorted(weights.items()):
+        thresh = F.when(
+            F.col(group_col) == g, F.lit(int(round(w * buckets)))
+        ).otherwise(thresh)
+    return df.filter(b < thresh)
+
+
+def sequence_pack(
+    docs: DataFrame,
+    capacity: int = 2048,
+    token_col=None,
+) -> DataFrame:
+    """Sequential sequence packing: concatenate documents in doc_id
+    order into fixed-capacity context windows (the pretraining packing
+    that turns ragged documents into full training sequences;
+    documents straddle bin boundaries exactly as a naive concat-and-
+    chunk tokenizer pipeline does). bin = exclusive-prefix-sum of
+    token counts DIV capacity, offset = the remainder — ONE window
+    exchange, deterministic in every engine.
+
+    At 10^12 docs a single global ordering is a one-reducer sort, so
+    packing is per (lang, split-bucket) in practice; the global
+    variant here keeps the oracle simple while the partitioned window
+    is the identical expression over more keys."""
+    from pyspark.sql import Window
+
+    tokens = token_col if token_col is not None else F.size(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    cum_excl = F.coalesce(
+        F.sum(tokens).over(w), F.lit(0).cast("long")
+    )
+    # integer DIV, never float '/': a 10^12-doc corpus accumulates
+    # > 2^53 tokens and double division silently mis-bins past that
+    return docs.select(
+        "doc_id",
+        tokens.cast("long").alias("n_tokens"),
+        cum_excl.alias("_cum"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("_cum DIV %d" % capacity).alias("bin"),
+        (F.col("_cum") % capacity).cast("long").alias("offset"),
+    )

@@ -105,3 +105,47 @@ def test_decontaminate_short_docs_emit_no_grams(spark):
            decontaminate(docs, bench, n=5).collect()}
     assert len(out) == 3  # totality holds for gram-free docs too
     assert not any(r["contaminated"] for r in out.values())
+
+
+def test_mixture_sample_rates_and_stability(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_converter_spark.operators.curation import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(i, "t", "keep" if i % 2 == 0 else "half") for i in range(4000)],
+        "doc_id long, text string, source string",
+    )
+    out = mixture_sample(docs, {"keep": 1.0, "half": 0.5})
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert got["keep"] == 2000  # weight 1.0 keeps everything
+    assert 800 < got["half"] < 1200  # ~50%, hash-determined
+    # growth-stability: adding rows never changes an existing row's fate
+    bigger = docs.unionByName(spark.createDataFrame(
+        [(10_000 + i, "t", "half") for i in range(100)],
+        "doc_id long, text string, source string"))
+    kept_ids = {r["doc_id"] for r in out.select("doc_id").collect()}
+    kept_ids2 = {r["doc_id"] for r in mixture_sample(
+        bigger, {"keep": 1.0, "half": 0.5}).select("doc_id").collect()}
+    assert kept_ids == {i for i in kept_ids2 if i < 10_000}
+    # absent source = dropped
+    assert mixture_sample(docs, {"keep": 1.0}).filter(
+        F.col("source") == "half").count() == 0
+
+
+def test_sequence_pack_bins_and_offsets(spark):
+    from rdf_converter_spark.operators.curation import sequence_pack
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f g h i"), (4, "j")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in
+           sequence_pack(docs, capacity=4).collect()}
+    # cum_excl: 0, 3, 5, 9 -> bins 0,0,1,2; offsets 0,3,1,1
+    assert (got[1]["bin"], got[1]["offset"]) == (0, 0)
+    assert (got[2]["bin"], got[2]["offset"]) == (0, 3)
+    assert (got[3]["bin"], got[3]["offset"]) == (1, 1)
+    assert (got[4]["bin"], got[4]["offset"]) == (2, 1)
+    assert got[3]["n_tokens"] == 4
