@@ -880,6 +880,23 @@ def q_sequence_pack(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_khop(spark, sf_dir):
+    """6-hop neighborhood from the hub pages over the document link
+    graph: frontier BFS (first visit = min hop), k bounds the shuffle
+    count; oracle = bounded recursive CTE with UNION-distinct."""
+    from rdf_converter_spark.operators.graph import khop_neighborhood
+
+    docs = _t(spark, sf_dir, "documents")
+    sources = docs.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("node")
+    )
+    return khop_neighborhood(
+        _doc_link_edges(spark, sf_dir), sources, k=6
+    ).select("node", F.col("hops").cast("long").alias("hops")).orderBy(
+        "node"
+    )
+
+
 def _messy_urls(docs):
     """Deterministic messy URL variants over documents: 5 crawl-dup
     shapes (case, fragment, default port + trailing slash, utm chain,
@@ -1037,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "star_join_revenue": q_star_join_revenue,
         "mixture_sample": q_mixture_sample,
         "sequence_pack": q_sequence_pack,
+        "khop_neighborhood": q_khop,
     }
 
 
@@ -1942,6 +1960,20 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.75), 6) AS p75,
                    max(n_chars) AS max_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "khop_neighborhood": """
+            WITH RECURSIVE """ + _LINK_EDGES + """,
+            s AS (SELECT doc_id AS node FROM documents
+                  WHERE doc_id < 10),
+            d(node, hops) AS (
+                SELECT node, 0 FROM s
+                UNION
+                SELECT e.dst, d.hops + 1
+                FROM d JOIN edges e ON e.src = d.node
+                WHERE d.hops < 6
+            )
+            SELECT node, CAST(min(hops) AS BIGINT) AS hops
+            FROM d GROUP BY node ORDER BY node
         """,
         "mixture_sample": """
             SELECT doc_id, source FROM documents

@@ -125,6 +125,7 @@ HEADLINE = [
     "star_join_revenue",
     "mixture_sample",
     "sequence_pack",
+    "khop_neighborhood",
 ]
 
 

@@ -186,3 +186,40 @@ def pagerank(
             .localCheckpoint(eager=True)
         )
     return ranks
+
+
+def khop_neighborhood(
+    edges: DataFrame, sources: DataFrame, k: int = 6
+) -> DataFrame:
+    """Minimum-hop distance (<= k) from a source set along out-edges —
+    the neighborhood expansion that fetches an entity's k-hop context
+    subgraph from the KG. Frontier BFS as a driver loop: each
+    iteration joins the CURRENT frontier (not the whole visited set)
+    against the edge list and anti-joins out already-visited nodes, so
+    per-iteration work is O(frontier x avg-degree) and the first visit
+    is by construction the minimum hop. Frontier and visited set are
+    localCheckpointed per iteration (flat lineage, same discipline as
+    cc.py); an empty frontier short-circuits. k bounds the join count
+    — a 10^12-node graph still runs exactly <= k shuffles."""
+    frontier = (
+        sources.select("node").dropDuplicates()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    for i in range(1, k + 1):
+        nxt = (
+            frontier.join(
+                edges, frontier["node"] == edges["src"]
+            )
+            .select(F.col("dst").alias("node"))
+            .dropDuplicates()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(i))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

@@ -190,3 +190,18 @@ def test_length_percentiles_exact(spark):
     # linear interpolation over [10,20,30,40]
     assert (r["p25"], r["p50"], r["p75"]) == (17.5, 25.0, 32.5)
     assert (r["min_chars"], r["max_chars"], r["n_docs"]) == (10, 40, 4)
+
+
+def test_khop_neighborhood_min_hops(spark):
+    from rdf_converter_spark.operators.graph import khop_neighborhood
+
+    # 0 -> 1 -> 2 -> 3, plus shortcut 0 -> 3 (min hop wins), 9 isolated
+    edges = _edges(spark, [(0, 1), (1, 2), (2, 3), (0, 3), (8, 9)])
+    src = spark.createDataFrame([(0,)], "node long")
+    got = {r["node"]: r["hops"] for r in
+           khop_neighborhood(edges, src, k=6).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1}
+    # k truncates: only 1 hop explored
+    got1 = {r["node"]: r["hops"] for r in
+            khop_neighborhood(edges, src, k=1).collect()}
+    assert got1 == {0: 0, 1: 1, 3: 1}
