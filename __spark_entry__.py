@@ -1936,10 +1936,13 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY subj, pred, obj
         """,
         "line_dedup": """
-            WITH w AS (SELECT doc_id, {w} AS ws FROM documents),
+            WITH w AS (SELECT doc_id,
+                              CASE WHEN trim(text) = '' THEN []
+                                   ELSE {w} END AS ws
+                       FROM documents),
             c AS (SELECT doc_id, CAST(i AS INT) AS chunk_no,
                          array_to_string(ws[i*5+1:i*5+5], ' ') AS chunk
-                  FROM w, unnest(range(0, len(ws) // 5)) AS t(i)),
+                  FROM w, unnest(range(0, (len(ws) + 4) // 5)) AS t(i)),
             f AS (SELECT chunk, count(*) AS n FROM c GROUP BY chunk),
             k AS (SELECT c.doc_id, c.chunk_no, c.chunk
                   FROM c JOIN f USING (chunk) WHERE f.n = 1),
@@ -1947,7 +1950,8 @@ def oracle_sql() -> dict[str, str]:
                          string_agg(chunk, ' ' ORDER BY chunk_no)
                              AS new_text
                   FROM k GROUP BY doc_id)
-            SELECT w.doc_id, CAST(len(ws) // 5 AS BIGINT) AS n_chunks,
+            SELECT w.doc_id,
+                   CAST((len(ws) + 4) // 5 AS BIGINT) AS n_chunks,
                    CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
                    coalesce(r.new_text, '') AS new_text
             FROM w LEFT JOIN r USING (doc_id) ORDER BY doc_id

@@ -406,13 +406,23 @@ def main():
                                     replication=SCALE_REP, cpu_start=2)
         hp = start_level_subprocess(HIGH_CPUS, corpus, runs=RUNS_HIGH,
                                     replication=SCALE_REP, cpu_start=8)
-        highs.append(wait_level(hp, HIGH_CPUS))
-        lows.append(wait_level(lp, LOW_CPUS))
+        try:
+            highs.append(wait_level(hp, HIGH_CPUS))
+            lows.append(wait_level(lp, LOW_CPUS))
+        except Exception:
+            # one level failing must not orphan the other pinned
+            # subprocess: it would keep burning its cpus through any
+            # retry and contaminate every later measurement
+            for proc in (lp, hp):
+                if proc.poll() is None:
+                    proc.kill()
+            raise
         effs.append(
             (highs[-1]["pages_per_sec"] / lows[-1]["pages_per_sec"]) / 4.0
         )
         estimates.append(round(_estimate(lows, highs), 3))
-        if i + 1 >= ROUNDS and abs(
+        # stability stop needs TWO estimates even when ROUNDS=1
+        if (i + 1 >= max(ROUNDS, 2)) and abs(
             estimates[-1] - estimates[-2]
         ) <= EFF_TOL * estimates[-2]:
             break

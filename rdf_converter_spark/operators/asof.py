@@ -45,7 +45,10 @@ def asof_join(
     payload = F.struct(
         F.col(ts).alias("_ts"), *[F.col(c).alias(c) for c in values]
     )
-    r = right.select(
+    # a NULL-ts right row can never satisfy ts_left >= ts_right, but
+    # NULLS FIRST ordering would place it before every left row and
+    # its (non-null) payload struct would be carried as a bogus match
+    r = right.filter(F.col(ts).isNotNull()).select(
         F.col(key), F.col(ts), payload.alias("_r"), F.lit(0).alias("_tag")
     )
     l_cols = left.columns

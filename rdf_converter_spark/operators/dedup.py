@@ -370,11 +370,17 @@ def line_dedup(docs: DataFrame, width: int = 5) -> DataFrame:
     partitioning) -> per-doc sort_array reassembly. Nothing all-pairs,
     state per key is one counter; survives a crawl-scale corpus.
 
-    Returns every input doc: (doc_id, n_chunks, n_kept, new_text) —
-    docs shorter than ``width`` words have 0 chunks and empty text.
+    Returns every input doc: (doc_id, n_chunks, n_kept, new_text).
+    Chunking is CEILING-based: the trailing (n_words mod width) words
+    form a final short chunk instead of being silently dropped — a
+    dedup operator must only ever remove corpus-repeated content,
+    never a document's own tail. Whitespace-only docs have 0 chunks.
     """
     words = _words()
-    n_chunks = F.floor(F.size(words) / width).cast("int")
+    n_words = F.when(
+        F.trim(F.col("text")) == "", F.lit(0)
+    ).otherwise(F.size(words))
+    n_chunks = F.ceil(n_words / width).cast("int")
     idx = F.when(n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)).otherwise(
         F.array().cast("array<int>")
     )

@@ -201,6 +201,9 @@ def khop_neighborhood(
     localCheckpointed per iteration (flat lineage, same discipline as
     cc.py); an empty frontier short-circuits. k bounds the join count
     — a 10^12-node graph still runs exactly <= k shuffles."""
+    # the edge subtree is consumed once per hop - materialize it
+    # once instead of re-running the caller's scan/shuffle k times
+    edges = edges.localCheckpoint(eager=True)
     frontier = (
         sources.select("node").dropDuplicates()
         .withColumn("hops", F.lit(0))

@@ -138,6 +138,19 @@ def parse_wav_header(data: bytes):
 _PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
 
 
+def _png_chunk(ctype: bytes, payload: bytes) -> bytes:
+    """length + type + payload + CRC32 — the one PNG chunk writer
+    every encoder in this module shares (keeping N copies in sync is
+    how ancillary-chunk bugs are born)."""
+    import struct
+    import zlib
+
+    body = ctype + payload
+    return (struct.pack(">I", len(payload)) + body
+            + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
+
+
+
 def parse_png_header(data: bytes):
     """Width/height/bit-depth/color-type from the IHDR chunk."""
     if len(data) < 33 or data[:8] != _PNG_MAGIC or data[12:16] != b"IHDR":
@@ -275,16 +288,11 @@ def encode_png(arr) -> bytes:
     arr = np.asarray(arr, dtype=np.uint8)
     h, w = arr.shape[:2]
 
-    def chunk(ctype, payload):
-        body = ctype + payload
-        return (struct.pack(">I", len(payload)) + body
-                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
-
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
     raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
-    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(raw, 6))
-            + chunk(b"IEND", b""))
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
 
 
 _META_KEYS = ("format", "width", "height", "channels", "sample_rate",
@@ -612,15 +620,10 @@ def encode_png16(arr) -> bytes:
     wide[:, :, :, 1] = 255 - arr
     raw = b"".join(b"\x00" + wide[y].tobytes() for y in range(h))
 
-    def chunk(ctype, payload):
-        body = ctype + payload
-        return (struct.pack(">I", len(payload)) + body
-                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
-
     ihdr = struct.pack(">IIBBBBB", w, h, 16, 2, 0, 0, 0)
-    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(raw, 6))
-            + chunk(b"IEND", b""))
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
 
 
 def encode_png_palette_gray(idx) -> bytes:
@@ -637,16 +640,11 @@ def encode_png_palette_gray(idx) -> bytes:
     plte = np.repeat(np.arange(256, dtype=np.uint8)[:, None], 3, axis=1)
     raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(h))
 
-    def chunk(ctype, payload):
-        body = ctype + payload
-        return (struct.pack(">I", len(payload)) + body
-                + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
-
     ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 0)
-    return (_PNG_MAGIC + chunk(b"IHDR", ihdr)
-            + chunk(b"PLTE", plte.tobytes())
-            + chunk(b"IDAT", zlib.compress(raw, 6))
-            + chunk(b"IEND", b""))
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", plte.tobytes())
+            + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
 
 
 def documents_as_png_variants(docs: DataFrame) -> DataFrame:

@@ -92,12 +92,24 @@ def stream_triples_upsert(
     store = os.path.join(out_dir, "triples_store")
     ckpt_path = os.path.join(out_dir, "_upsert_checkpoint")
 
+    def _store_exists(s) -> bool:
+        # Hadoop FS check, not os.path.exists: the store may live on
+        # hdfs:///s3a:// where a driver-local stat is always False and
+        # the merge path would silently overwrite touched buckets
+        # with delta-only rows
+        jvm = s.sparkContext._jvm
+        conf = s.sparkContext._jsc.hadoopConfiguration()
+        path = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(store, "_SUCCESS")
+        )
+        return path.getFileSystem(conf).exists(path)
+
     def process_batch(batch_df, batch_id: int):
         s = batch_df.sparkSession
         delta = build_triples_extraction(s, route(batch_df)).withColumn(
             "bucket", F.pmod(F.xxhash64("subj"), F.lit(n_buckets))
         )
-        if os.path.exists(os.path.join(store, "_SUCCESS")):
+        if _store_exists(s):
             touched = [
                 r["bucket"]
                 for r in delta.select("bucket").distinct().collect()

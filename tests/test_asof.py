@@ -76,3 +76,19 @@ def test_asof_join_multiple_value_columns(spark):
     )
     row = asof_join(left, right, values=("value", "props")).collect()[0]
     assert row["value_asof"] == 1.5 and row["props_asof"] == "x"
+
+
+def test_asof_ignores_null_ts_right_rows(spark):
+    """A NULL-ts right row can never satisfy ts_left >= ts_right; it
+    must not be carried as a bogus earliest match (NULLS FIRST
+    ordering would otherwise place it before every left row)."""
+    left = spark.createDataFrame(
+        [(1, 10, _ts("2024-01-01T09:00:00"), 1.0)],
+        "event_id long, user_id long, ts timestamp, value double",
+    )
+    right = spark.createDataFrame(
+        [(10, None, 99.0), (10, _ts("2024-01-01T11:00:00"), 110.0)],
+        "user_id long, ts timestamp, value double",
+    )
+    row = asof_join(left, right).collect()[0]
+    assert row["value_asof"] is None and row["ts_asof"] is None

@@ -161,7 +161,7 @@ def test_line_dedup_drops_repeated_chunks(spark):
             (1, boiler + " aa bb cc dd ee"),
             (2, boiler + " ff gg hh ii jj"),
             (3, "kk ll mm nn oo pp qq rr ss tt"),
-            (4, "short text"),  # < width words -> 0 chunks
+            (4, "short text"),  # < width words -> one short tail chunk
         ],
         "doc_id long, text string",
     )
@@ -173,8 +173,25 @@ def test_line_dedup_drops_repeated_chunks(spark):
     # unique doc keeps everything, in original order
     assert got[3]["new_text"] == "kk ll mm nn oo pp qq rr ss tt"
     assert (got[3]["n_chunks"], got[3]["n_kept"]) == (2, 2)
-    # sub-width doc survives with zero chunks, empty text
+    # sub-width doc keeps its whole text as one short chunk — the
+    # dedup must never drop a document's own tail words
     assert (got[4]["n_chunks"], got[4]["n_kept"], got[4]["new_text"]) == (
+        1, 1, "short text",
+    )
+
+
+def test_line_dedup_keeps_trailing_words(spark):
+    from rdf_converter_spark.operators.dedup import line_dedup
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e tail words here"),  # 8 words: 5 + 3-word tail
+         (2, "")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in line_dedup(docs, width=5).collect()}
+    assert got[1]["new_text"] == "a b c d e tail words here"
+    assert (got[1]["n_chunks"], got[1]["n_kept"]) == (2, 2)
+    assert (got[2]["n_chunks"], got[2]["n_kept"], got[2]["new_text"]) == (
         0, 0, "",
     )
 
