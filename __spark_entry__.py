@@ -897,6 +897,40 @@ def q_khop(spark, sf_dir):
     )
 
 
+def q_snapshot_diff(spark, sf_dir):
+    """CDC between two KG snapshots derived from orders: the new
+    snapshot updates status for orderkey%10 and drops customer
+    triples for orderkey%100 — the diff is exactly those rows,
+    labeled added/removed, via ONE full-outer join."""
+    from rdf_converter_spark.operators.merge import snapshot_diff
+
+    orders = _t(spark, sf_dir, "orders")
+    subj = F.concat(F.lit("o:"), F.col("o_orderkey").cast("string"))
+    old = orders.select(
+        subj.alias("subj"),
+        F.lit("customer").alias("pred"),
+        F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("obj"),
+    ).unionByName(
+        orders.select(
+            subj.alias("subj"),
+            F.lit("status").alias("pred"),
+            F.col("o_orderstatus").alias("obj"),
+        )
+    )
+    new = old.filter(
+        ~((F.col("pred") == "customer")
+          & (F.expr("CAST(substr(subj, 3) AS BIGINT) % 100 = 0")))
+    ).withColumn(
+        "obj",
+        F.when(
+            (F.col("pred") == "status")
+            & F.expr("CAST(substr(subj, 3) AS BIGINT) % 10 = 0"),
+            F.lit("UPDATED"),
+        ).otherwise(F.col("obj")),
+    )
+    return snapshot_diff(old, new).orderBy("subj", "pred", "obj", "change")
+
+
 def _messy_urls(docs):
     """Deterministic messy URL variants over documents: 5 crawl-dup
     shapes (case, fragment, default port + trailing slash, utm chain,
@@ -1055,6 +1089,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "sequence_pack": q_sequence_pack,
         "khop_neighborhood": q_khop,
+        "snapshot_diff": q_snapshot_diff,
     }
 
 
@@ -1964,6 +1999,40 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(n_chars, 0.75), 6) AS p75,
                    max(n_chars) AS max_chars
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "snapshot_diff": """
+            WITH old AS (
+                SELECT 'o:' || CAST(o_orderkey AS VARCHAR) AS subj,
+                       'customer' AS pred,
+                       'c:' || CAST(o_custkey AS VARCHAR) AS obj
+                FROM orders
+                UNION ALL
+                SELECT 'o:' || CAST(o_orderkey AS VARCHAR), 'status',
+                       o_orderstatus
+                FROM orders
+            ),
+            new AS (
+                SELECT subj, pred,
+                       CASE WHEN pred = 'status'
+                                 AND CAST(substr(subj, 3) AS BIGINT)
+                                     % 10 = 0
+                            THEN 'UPDATED' ELSE obj END AS obj
+                FROM old
+                WHERE NOT (pred = 'customer'
+                           AND CAST(substr(subj, 3) AS BIGINT)
+                               % 100 = 0)
+            ),
+            o AS (SELECT DISTINCT subj, pred, obj FROM old),
+            n AS (SELECT DISTINCT subj, pred, obj FROM new)
+            SELECT coalesce(o.subj, n.subj) AS subj,
+                   coalesce(o.pred, n.pred) AS pred,
+                   coalesce(o.obj, n.obj) AS obj,
+                   CASE WHEN o.subj IS NULL THEN 'added'
+                        ELSE 'removed' END AS change
+            FROM o FULL JOIN n
+              ON o.subj = n.subj AND o.pred = n.pred AND o.obj = n.obj
+            WHERE o.subj IS NULL OR n.subj IS NULL
+            ORDER BY subj, pred, obj, change
         """,
         "khop_neighborhood": """
             WITH RECURSIVE """ + _LINK_EDGES + """,

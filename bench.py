@@ -126,6 +126,7 @@ HEADLINE = [
     "mixture_sample",
     "sequence_pack",
     "khop_neighborhood",
+    "snapshot_diff",
 ]
 
 

@@ -49,3 +49,30 @@ def upsert_triples(
     kept = base.join(keys, KEY, "left_anti")
     live = delta.filter(F.col("obj").isNotNull()).dropDuplicates()
     return kept.unionByName(live)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Change-data-capture between two triple-table snapshots: every
+    (subj, pred, obj) row that is in exactly one side, labeled
+    'added' or 'removed' — the audit artifact a crawl-over-crawl KG
+    rebuild publishes so consumers replay deltas instead of re-
+    reading 10^12 triples.
+
+    ONE full-outer join hashed on the composite row key (two
+    anti-joins would pay the same shuffle twice); unchanged rows
+    (present on both sides) drop out in the filter, so the output is
+    delta-sized."""
+    o = old.select(*KEY, "obj").dropDuplicates().withColumn(
+        "_o", F.lit(1)
+    )
+    n = new.select(*KEY, "obj").dropDuplicates().withColumn(
+        "_n", F.lit(1)
+    )
+    j = o.join(n, [*KEY, "obj"], "full_outer")
+    return j.filter(F.col("_o").isNull() | F.col("_n").isNull()).select(
+        *KEY,
+        "obj",
+        F.when(F.col("_o").isNull(), F.lit("added"))
+        .otherwise(F.lit("removed"))
+        .alias("change"),
+    )

@@ -222,3 +222,26 @@ def test_khop_neighborhood_min_hops(spark):
     got1 = {r["node"]: r["hops"] for r in
             khop_neighborhood(edges, src, k=1).collect()}
     assert got1 == {0: 0, 1: 1, 3: 1}
+
+
+def test_snapshot_diff_labels(spark):
+    from rdf_converter_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("s1", "p", "a"), ("s2", "p", "b"), ("s3", "p", "c")],
+        "subj string, pred string, obj string",
+    )
+    new = spark.createDataFrame(
+        [("s1", "p", "a"),      # unchanged -> absent from diff
+         ("s2", "p", "B2"),     # changed -> removed old + added new
+         ("s4", "p", "d")],     # brand new
+        "subj string, pred string, obj string",
+    )
+    got = {(r["subj"], r["obj"]): r["change"]
+           for r in snapshot_diff(old, new).collect()}
+    assert got == {
+        ("s2", "b"): "removed",
+        ("s2", "B2"): "added",
+        ("s3", "c"): "removed",
+        ("s4", "d"): "added",
+    }
