@@ -2064,7 +2064,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sequence_pack": """
             WITH t AS (
-                SELECT doc_id, CAST(len({w}) AS BIGINT) AS n_tokens
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE CAST(len({w}) AS BIGINT)
+                       END AS n_tokens
                 FROM documents
             ),
             c AS (

@@ -156,6 +156,13 @@ def mixture_sample(
     for g, w in weights.items():
         if not 0.0 <= w <= 1.0:
             raise ValueError("weight out of [0,1] for %r: %r" % (g, w))
+        if w > 0 and int(round(w * buckets)) == 0:
+            raise ValueError(
+                "weight %r for %r rounds to a zero threshold at "
+                "buckets=%d - raise buckets or the weight; silently "
+                "dropping a deliberately-included source is worse "
+                "than failing" % (w, g, buckets)
+            )
     b = _hash_key(F.col(key), salt) % buckets
     thresh = F.lit(0)
     for g, w in sorted(weights.items()):
@@ -184,8 +191,14 @@ def sequence_pack(
     is the identical expression over more keys."""
     from pyspark.sql import Window
 
-    tokens = token_col if token_col is not None else F.size(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    if isinstance(token_col, str):
+        token_col = F.col(token_col)
+    # whitespace-only text splits to [''] (size 1); count it as the 0
+    # tokens it is — same guard as line_dedup
+    tokens = token_col if token_col is not None else F.when(
+        F.trim(F.col("text")) == "", F.lit(0)
+    ).otherwise(
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
     )
     w = Window.orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, -1

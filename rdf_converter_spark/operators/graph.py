@@ -209,20 +209,30 @@ def khop_neighborhood(
         .withColumn("hops", F.lit(0))
         .localCheckpoint(eager=True)
     )
-    visited = frontier
+    # visited = lazy union of the per-hop CHECKPOINTED frontiers: each
+    # leaf is already materialized with flat lineage, so re-
+    # checkpointing the whole visited set every hop (O(k * V) storage
+    # traffic for an O(V) result) buys nothing
+    layers = [frontier]
     for i in range(1, k + 1):
+        visited_nodes = layers[0].select("node")
+        for layer in layers[1:]:
+            visited_nodes = visited_nodes.unionAll(layer.select("node"))
         nxt = (
             frontier.join(
                 edges, frontier["node"] == edges["src"]
             )
             .select(F.col("dst").alias("node"))
             .dropDuplicates()
-            .join(visited.select("node"), "node", "left_anti")
+            .join(visited_nodes, "node", "left_anti")
             .withColumn("hops", F.lit(i))
             .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        layers.append(nxt)
         frontier = nxt
-    return visited
+    out = layers[0]
+    for layer in layers[1:]:
+        out = out.unionByName(layer)
+    return out

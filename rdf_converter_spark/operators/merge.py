@@ -65,13 +65,24 @@ def snapshot_diff(old: DataFrame, new: DataFrame) -> DataFrame:
     o = old.select(*KEY, "obj").dropDuplicates().withColumn(
         "_o", F.lit(1)
     )
-    n = new.select(*KEY, "obj").dropDuplicates().withColumn(
-        "_n", F.lit(1)
+    n = (
+        new.select(*KEY, "obj").dropDuplicates()
+        .withColumnsRenamed({"subj": "_ns", "pred": "_np", "obj": "_no"})
+        .withColumn("_n", F.lit(1))
     )
-    j = o.join(n, [*KEY, "obj"], "full_outer")
+    # eqNullSafe on obj: NULL-obj rows are in-domain (upsert_triples'
+    # tombstones) and null-rejecting equality would report an
+    # unchanged (s, p, NULL) as removed AND added
+    cond = (
+        (o["subj"] == n["_ns"])
+        & (o["pred"] == n["_np"])
+        & o["obj"].eqNullSafe(n["_no"])
+    )
+    j = o.join(n, cond, "full_outer")
     return j.filter(F.col("_o").isNull() | F.col("_n").isNull()).select(
-        *KEY,
-        "obj",
+        F.coalesce(o["subj"], n["_ns"]).alias("subj"),
+        F.coalesce(o["pred"], n["_np"]).alias("pred"),
+        F.coalesce(o["obj"], n["_no"]).alias("obj"),
         F.when(F.col("_o").isNull(), F.lit("added"))
         .otherwise(F.lit("removed"))
         .alias("change"),

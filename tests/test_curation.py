@@ -149,3 +149,35 @@ def test_sequence_pack_bins_and_offsets(spark):
     assert (got[3]["bin"], got[3]["offset"]) == (1, 1)
     assert (got[4]["bin"], got[4]["offset"]) == (2, 1)
     assert got[3]["n_tokens"] == 4
+
+
+def test_sequence_pack_empty_docs_and_string_col(spark):
+    from pyspark.sql import functions as F
+
+    from rdf_converter_spark.operators.curation import sequence_pack
+
+    docs = spark.createDataFrame(
+        [(1, "a b", 2), (2, "", 0), (3, "   ", 0), (4, "c d e", 3)],
+        "doc_id long, text string, pre long",
+    )
+    got = {r["doc_id"]: r for r in sequence_pack(docs, capacity=4).collect()}
+    # empty/whitespace docs are 0 tokens, not 1 — they must not shift
+    # later docs' bins
+    assert got[2]["n_tokens"] == 0 and got[3]["n_tokens"] == 0
+    assert (got[4]["bin"], got[4]["offset"]) == (0, 2)
+    # a string token_col is wrapped to a Column (not AttributeError)
+    got2 = {r["doc_id"]: r["n_tokens"] for r in
+            sequence_pack(docs, capacity=4, token_col="pre").collect()}
+    assert got2 == {1: 2, 2: 0, 3: 0, 4: 3}
+
+
+def test_mixture_sample_rejects_zero_rounding_weight(spark):
+    import pytest
+
+    from rdf_converter_spark.operators.curation import mixture_sample
+
+    docs = spark.createDataFrame(
+        [(1, "t", "rare")], "doc_id long, text string, source string"
+    )
+    with pytest.raises(ValueError, match="zero threshold"):
+        mixture_sample(docs, {"rare": 0.00001})

@@ -245,3 +245,21 @@ def test_snapshot_diff_labels(spark):
         ("s3", "c"): "removed",
         ("s4", "d"): "added",
     }
+
+
+def test_snapshot_diff_null_obj_unchanged(spark):
+    """An unchanged (s, p, NULL) row must NOT appear as removed+added:
+    the join is null-safe on obj."""
+    from rdf_converter_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [("s1", "p", None), ("s2", "p", "x")],
+        "subj string, pred string, obj string",
+    )
+    new = spark.createDataFrame(
+        [("s1", "p", None), ("s3", "p", None)],
+        "subj string, pred string, obj string",
+    )
+    got = {(r["subj"], r["obj"]): r["change"]
+           for r in snapshot_diff(old, new).collect()}
+    assert got == {("s2", "x"): "removed", ("s3", None): "added"}
