@@ -613,12 +613,14 @@ def q_cm_heavy_hitters(spark, sf_dir):
 
 
 def q_png_variants(spark, sf_dir):
-    """Three PNG sample layouts on one pipeline: 8-bit RGB, 16-bit
+    """Four PNG sample layouts on one pipeline: 8-bit RGB, 16-bit
     RGB (pixel in the high byte, complement in the low — a decoder
-    reading the wrong byte fails the digest) and 8-bit palette over
-    the gray identity palette. The oracle reconstructs every decoded-
-    pixel digest without PNG code: v0/v1 = md5 of the tiled md5-hex,
-    v2 = the same tiled bytes each tripled by the palette map."""
+    reading the wrong byte fails the digest), 8-bit palette over the
+    gray identity palette, and Adam7-interlaced 8-bit RGB (the
+    deinterlacing scatter must land every pass pixel exactly). The
+    oracle reconstructs every decoded-pixel digest without PNG code:
+    v0/v1/v3 = md5 of the tiled md5-hex, v2 = the same tiled bytes
+    each tripled by the palette map."""
     from rdf_converter_spark.operators.multimodal import (
         decoded_pixel_digest, documents_as_png_variants,
     )
@@ -1460,7 +1462,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id,
                      4 + doc_id % 9 AS w,
                      4 + doc_id % 5 AS h,
-                     doc_id % 3 AS v,
+                     doc_id % 4 AS v,
                      md5(text) AS seed
               FROM documents
             ), px AS (

@@ -167,15 +167,67 @@ def parse_png_header(data: bytes):
     }
 
 
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass, in
+# stream order. Each pass is its own filtered sub-image; deinterlacing
+# is a strided numpy scatter into the final sample plane.
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_unfilter(raw, pos, h, stride, bpp):
+    """Undo the per-row filters (None/Sub/Up/Average/Paeth) for one
+    (sub-)image of ``h`` rows starting at byte ``pos`` of the inflated
+    stream; returns ``(rows (h, stride) uint8, next_pos)``."""
+    import numpy as np
+
+    need = h * (stride + 1)
+    if len(raw) - pos < need:
+        raise NotImplementedError("truncated PNG stream")
+    rows = np.frombuffer(raw, np.uint8, count=need,
+                         offset=pos).reshape(h, stride + 1)
+    filters, lines = rows[:, 0], rows[:, 1:].astype(np.int16)
+    out = np.zeros((h, stride), np.uint8)
+    for y in range(h):
+        line = lines[y].copy()
+        prev = out[y - 1].astype(np.int16) if y else np.zeros(
+            stride, np.int16
+        )
+        f = filters[y]
+        if f == 0:
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub/Average/Paeth carry left-to-right state
+            cur = np.zeros(stride, np.int16)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if f == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif f == 3:
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c
+                    )
+                    cur[x] = (line[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+    return out, pos + need
+
+
 def decode_png(data: bytes):
-    """Decode a non-interlaced PNG to an (h, w, 3) uint8 RGB array
-    with ONLY stdlib zlib + numpy: walk the chunks, inflate IDAT,
-    undo the per-row filters (None/Sub/Up/Average/Paeth), then map to
-    RGB. Supported sample layouts: 8-bit gray/RGB/gray+alpha/RGBA,
-    16-bit the same (high byte kept — the standard 16→8 downsample),
-    8-bit palette (PLTE lookup) and 1/2/4-bit palette or grayscale
-    (bit-unpacked). Interlaced (Adam7) and JPEG still raise — honest
-    limits of a library-free decoder."""
+    """Decode a PNG to an (h, w, 3) uint8 RGB array with ONLY stdlib
+    zlib + numpy: walk the chunks, inflate IDAT, undo the per-row
+    filters (None/Sub/Up/Average/Paeth), then map to RGB. Supported
+    sample layouts: 8-bit gray/RGB/gray+alpha/RGBA, 16-bit the same
+    (high byte kept — the standard 16→8 downsample), 8-bit palette
+    (PLTE lookup) and 1/2/4-bit palette or grayscale (bit-unpacked),
+    each in both non-interlaced and Adam7-interlaced form (every pass
+    filtered independently, scattered back on the pass grid). JPEG
+    still raises — the honest limit of a library-free decoder."""
     import zlib
 
     import numpy as np
@@ -184,9 +236,9 @@ def decode_png(data: bytes):
     if hdr is None:
         raise NotImplementedError("not a PNG")
     depth, ctype_ = hdr["_bit_depth"], hdr["_color_type"]
-    if hdr["_interlace"] != 0:
+    if hdr["_interlace"] not in (0, 1):
         raise NotImplementedError(
-            "interlaced (Adam7) PNG not decodable without codecs"
+            "PNG interlace method %d unknown" % hdr["_interlace"]
         )
     if ctype_ not in (0, 2, 3, 4, 6):
         raise NotImplementedError("unknown PNG color type %d" % ctype_)
@@ -219,61 +271,45 @@ def decode_png(data: bytes):
     # filters operate on BYTES; the left-neighbor offset is the whole
     # pixel's byte width (min 1 for sub-byte depths)
     bpp = max(nch * depth // 8, 1)
-    stride = (w * nch * depth + 7) // 8
-    if len(raw) < h * (stride + 1):
-        raise NotImplementedError("truncated PNG stream")
-    rows = np.frombuffer(raw, np.uint8,
-                         count=h * (stride + 1)).reshape(h, stride + 1)
-    filters, lines = rows[:, 0], rows[:, 1:].astype(np.int16)
-    out = np.zeros((h, stride), np.uint8)
-    for y in range(h):
-        line = lines[y].copy()
-        prev = out[y - 1].astype(np.int16) if y else np.zeros(
-            stride, np.int16
-        )
-        f = filters[y]
-        if f == 0:
-            cur = line
-        elif f == 2:  # Up
-            cur = (line + prev) & 0xFF
-        else:  # Sub/Average/Paeth carry left-to-right state
-            cur = np.zeros(stride, np.int16)
-            for x in range(stride):
-                a = cur[x - bpp] if x >= bpp else 0
-                b = prev[x]
-                if f == 1:
-                    cur[x] = (line[x] + a) & 0xFF
-                elif f == 3:
-                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
-                else:  # Paeth
-                    c = prev[x - bpp] if x >= bpp else 0
-                    p = a + b - c
-                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                    pred = a if (pa <= pb and pa <= pc) else (
-                        b if pb <= pc else c
-                    )
-                    cur[x] = (line[x] + pred) & 0xFF
-        out[y] = cur.astype(np.uint8)
-    if depth in (1, 2, 4):  # sub-byte gray or palette indices
-        bits = np.unpackbits(out, axis=1)[:, : w * depth]
-        weights = 1 << np.arange(depth - 1, -1, -1)
-        vals = (bits.reshape(h, w, depth) * weights).sum(axis=2)
+    passes = _ADAM7 if hdr["_interlace"] == 1 else ((0, 0, 1, 1),)
+    # assemble raw per-pixel samples (palette index / gray value /
+    # channel bytes, 16-bit already high-byte-reduced) across passes
+    samples = np.zeros((h, w, nch), np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in passes:
+        wp = (w - x0 + dx - 1) // dx
+        hp = (h - y0 + dy - 1) // dy
+        if wp <= 0 or hp <= 0:
+            continue  # empty Adam7 pass for small images
+        stride = (wp * nch * depth + 7) // 8
+        rows, pos = _png_unfilter(raw, pos, hp, stride, bpp)
+        if depth in (1, 2, 4):  # sub-byte gray or palette indices
+            bits = np.unpackbits(rows, axis=1)[:, : wp * depth]
+            weights = 1 << np.arange(depth - 1, -1, -1)
+            sub = (bits.reshape(hp, wp, depth) * weights).sum(
+                axis=2
+            ).astype(np.uint8)[:, :, None]
+        else:
+            sub = rows.reshape(hp, wp, nch * (depth // 8))
+            if depth == 16:
+                sub = sub[:, :, ::2]  # big-endian high byte per sample
+        samples[y0::dy, x0::dx] = sub
+    if depth in (1, 2, 4):
+        vals = samples[:, :, 0]
         if ctype_ == 3:
             return palette[np.minimum(vals, len(palette) - 1)].copy()
         scale = 255 // ((1 << depth) - 1)  # gray: expand to full range
         return np.repeat(
             (vals * scale).astype(np.uint8)[:, :, None], 3, axis=2
         )
-    img = out.reshape(h, w, nch * (depth // 8))
-    if depth == 16:
-        img = img[:, :, ::2]  # big-endian high byte of each sample
     if ctype_ == 3:
-        return palette[np.minimum(img[:, :, 0], len(palette) - 1)].copy()
+        return palette[np.minimum(samples[:, :, 0],
+                                  len(palette) - 1)].copy()
     if nch == 1:
-        return np.repeat(img, 3, axis=2)
+        return np.repeat(samples, 3, axis=2)
     if nch == 2:  # gray + alpha
-        return np.repeat(img[:, :, :1], 3, axis=2)
-    return img[:, :, :3].copy()  # RGB / RGBA minus alpha
+        return np.repeat(samples[:, :, :1], 3, axis=2)
+    return samples[:, :, :3].copy()  # RGB / RGBA minus alpha
 
 
 def encode_png(arr) -> bytes:
@@ -292,6 +328,30 @@ def encode_png(arr) -> bytes:
     raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
     return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
             + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+            + _png_chunk(b"IEND", b""))
+
+
+def encode_png_adam7(arr) -> bytes:
+    """(h, w, 3) uint8 RGB -> Adam7-interlaced PNG (filter-0 rows in
+    the 7-pass stream order): decode_png must run the deinterlacing
+    scatter to recover ``arr`` — pixels land wrong if any pass grid
+    offset is off by one."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    h, w = arr.shape[:2]
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = arr[y0::dy, x0::dx]
+        for y in range(sub.shape[0]):
+            if sub.shape[1]:  # empty passes contribute no bytes
+                parts.append(b"\x00" + sub[y].tobytes())
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)
+    return (_PNG_MAGIC + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(b"".join(parts), 6))
             + _png_chunk(b"IEND", b""))
 
 
@@ -648,13 +708,13 @@ def encode_png_palette_gray(idx) -> bytes:
 
 
 def documents_as_png_variants(docs: DataFrame) -> DataFrame:
-    """Like documents_as_png but cycling doc_id % 3 through the three
+    """Like documents_as_png but cycling doc_id % 4 through four
     decodable sample layouts — 8-bit RGB, 16-bit RGB (high byte
-    carries the pixel), 8-bit palette over the gray identity palette —
-    so the oracle still predicts every decoded-pixel digest
-    arithmetically (v0/v1 digest the tiled md5-hex itself, v2 the
-    same bytes tripled) while Spark must run three genuinely
-    different decode paths."""
+    carries the pixel), 8-bit palette over the gray identity palette,
+    and Adam7-interlaced 8-bit RGB — so the oracle still predicts
+    every decoded-pixel digest arithmetically (v0/v1/v3 digest the
+    tiled md5-hex itself, v2 the same bytes tripled) while Spark must
+    run four genuinely different decode paths."""
     import numpy as np
 
     @F.pandas_udf(T.BinaryType())
@@ -665,7 +725,7 @@ def documents_as_png_variants(docs: DataFrame) -> DataFrame:
             seed = hashlib.md5(
                 (t or "").encode("utf-8")
             ).hexdigest().encode("ascii")
-            v = int(i) % 3
+            v = int(i) % 4
             npx = w * h * (1 if v == 2 else 3)
             reps = npx // len(seed) + 1
             tiled = np.frombuffer((seed * reps)[:npx], np.uint8)
@@ -673,8 +733,10 @@ def documents_as_png_variants(docs: DataFrame) -> DataFrame:
                 out.append(encode_png(tiled.reshape(h, w, 3)))
             elif v == 1:
                 out.append(encode_png16(tiled.reshape(h, w, 3)))
-            else:
+            elif v == 2:
                 out.append(encode_png_palette_gray(tiled.reshape(h, w)))
+            else:
+                out.append(encode_png_adam7(tiled.reshape(h, w, 3)))
         return pd.Series(out)
 
     return docs.select(

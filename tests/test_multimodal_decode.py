@@ -314,8 +314,8 @@ def test_png_unsupported_variants_raise():
         return (struct.pack(">I", len(payload)) + body
                 + struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF))
 
-    # interlaced (Adam7) and palette-without-PLTE both refuse honestly
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    # unknown interlace method and palette-without-PLTE refuse honestly
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2)
     data = (_PNG_MAGIC + chunk(b"IHDR", ihdr)
             + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
             + chunk(b"IEND", b""))
@@ -327,6 +327,37 @@ def test_png_unsupported_variants_raise():
             + chunk(b"IEND", b""))
     with pytest.raises(NotImplementedError):
         decode_image(data)
+
+
+def test_png_adam7_roundtrip():
+    """Adam7 deinterlacing must reproduce the exact pixels for sizes
+    that exercise every pass-grid edge: 1×1 (only pass 1), widths and
+    heights below 8 (several empty passes), and sizes spanning
+    multiple 8×8 tiles."""
+    from rdf_converter_spark.operators.multimodal import (
+        decode_png, encode_png_adam7,
+    )
+
+    rng = np.random.RandomState(23)
+    for w, h in ((1, 1), (2, 2), (3, 5), (7, 4), (8, 8), (13, 9),
+                 (17, 23), (32, 6)):
+        arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        out = decode_png(encode_png_adam7(arr))
+        np.testing.assert_array_equal(out, arr)
+
+
+def test_png_adam7_matches_noninterlaced():
+    """The same pixels through the interlaced and sequential encoders
+    decode identically — the scatter is a pure re-ordering."""
+    from rdf_converter_spark.operators.multimodal import (
+        decode_png, encode_png, encode_png_adam7,
+    )
+
+    rng = np.random.RandomState(29)
+    arr = rng.randint(0, 256, size=(11, 19, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(encode_png_adam7(arr)), decode_png(encode_png(arr))
+    )
 
 
 def test_png_palette_8bit_decodes_via_plte():
