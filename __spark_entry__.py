@@ -30,6 +30,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def kg_tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = _kg_tpch_unordered(spark, sf_dir)
+    return out.select("subj", "pred", "obj", "obj_is_uri", "obj_lang",
+                      "obj_datatype").orderBy("subj", "pred", "obj")
+
+
+def _kg_tpch_unordered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rdf_converter_spark.operators.emit import (
         dedup_triples, explode_triples, triple, uref,
     )
@@ -89,9 +95,7 @@ def kg_tpch_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         graph="tpch", src_url=None,
     )
-    out = dedup_triples(cust_triples.unionByName(order_triples))
-    return out.select("subj", "pred", "obj", "obj_is_uri", "obj_lang",
-                      "obj_datatype").orderBy("subj", "pred", "obj")
+    return dedup_triples(cust_triples.unionByName(order_triples))
 
 
 _KG_TPCH_ORACLE = """
@@ -137,6 +141,45 @@ FROM triples
 WHERE obj IS NOT NULL AND length(obj) > 0 AND obj <> 'None'
 ORDER BY subj, pred, obj
 """
+
+
+def q_bgp_match(spark, sf_dir):
+    """SPARQL basic-graph-pattern over the constructed KG: customers
+    typed Customer in a EUROPE nation with their segment — four
+    triple patterns compiled to filtered scans + equi-joins on shared
+    variables (operators/bgp.py); the oracle runs the same BGP as
+    four self-joins over the identical triple CTE."""
+    from rdf_converter_spark.operators.bgp import bgp_match
+
+    base = "http://kg.test/"
+    kg = _kg_tpch_unordered(spark, sf_dir)
+    out = bgp_match(kg, [
+        ("?c", base + "ontology#type", base + "Customer"),
+        ("?c", base + "ontology#nation", "?n"),
+        ("?n", base + "ontology#region", "EUROPE"),
+        ("?c", base + "ontology#segment", "?seg"),
+    ])
+    return out.select(
+        F.col("c").alias("cust"), F.col("n").alias("nation"),
+        F.col("seg").alias("segment"),
+    ).orderBy("cust", "nation", "segment")
+
+
+_BGP_ORACLE = """
+WITH kg AS (%s)
+SELECT t1.subj AS cust, t2.obj AS nation, t4.obj AS segment
+FROM kg t1
+JOIN kg t2 ON t2.subj = t1.subj
+          AND t2.pred = 'http://kg.test/ontology#nation'
+JOIN kg t3 ON t3.subj = t2.obj
+          AND t3.pred = 'http://kg.test/ontology#region'
+          AND t3.obj = 'EUROPE'
+JOIN kg t4 ON t4.subj = t1.subj
+          AND t4.pred = 'http://kg.test/ontology#segment'
+WHERE t1.pred = 'http://kg.test/ontology#type'
+  AND t1.obj = 'http://kg.test/Customer'
+ORDER BY cust, nation, segment
+""" % _KG_TPCH_ORACLE
 
 
 # ---------------------------------------------------------------------------
@@ -1031,6 +1074,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_tpch_triples": kg_tpch_triples,
+        "bgp_match": q_bgp_match,
         "scan_filter_project": scan_filter_project,
         "agg_partial": agg_partial,
         "broadcast_dim_join": broadcast_dim_join,
@@ -1187,6 +1231,7 @@ def oracle_sql() -> dict[str, str]:
     ).format(w=_WORDS)
     return {
         "kg_tpch_triples": _KG_TPCH_ORACLE,
+        "bgp_match": _BGP_ORACLE,
         "scan_filter_project": """
             SELECT l_orderkey, l_linenumber,
                    upper(trim(l_returnflag)) AS flag,

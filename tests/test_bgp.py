@@ -1,0 +1,102 @@
+# -*- coding: utf-8 -*-
+"""Basic-graph-pattern matching (operators/bgp.py).
+
+Semantics mirror SPARQL BGP evaluation over a triple set (the
+reference's graphs are queried with rdflib's SPARQL engine; here the
+triple table is the graph).
+"""
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_converter_spark.operators.bgp import bgp_match
+
+TRIPLES = [
+    # (subj, pred, obj)
+    ("a", "type", "Person"),
+    ("b", "type", "Person"),
+    ("c", "type", "Place"),
+    ("a", "knows", "b"),
+    ("b", "knows", "a"),
+    ("b", "knows", "c"),
+    ("a", "name", "Alice"),
+    ("b", "name", "Bob"),
+    ("c", "name", "Cave"),
+    ("x", "likes", "x"),
+    ("y", "likes", "z"),
+]
+
+
+@pytest.fixture(scope="module")
+def triples(spark):
+    return spark.createDataFrame(TRIPLES, ["subj", "pred", "obj"])
+
+
+def test_single_pattern_constant_filter(triples):
+    out = bgp_match(triples, [("?s", "type", "Person")])
+    assert out.columns == ["s"]
+    assert sorted(r.s for r in out.collect()) == ["a", "b"]
+
+
+def test_join_on_shared_variable(triples):
+    out = bgp_match(triples, [
+        ("?s", "type", "Person"),
+        ("?s", "knows", "?o"),
+        ("?o", "name", "?n"),
+    ])
+    rows = sorted((r.s, r.o, r.n) for r in out.collect())
+    assert rows == [("a", "b", "Bob"), ("b", "a", "Alice"),
+                    ("b", "c", "Cave")]
+
+
+def test_repeated_variable_within_pattern(triples):
+    # ?x likes ?x matches only the self-loop
+    out = bgp_match(triples, [("?x", "likes", "?x")])
+    assert [r.x for r in out.collect()] == ["x"]
+
+
+def test_most_constrained_pattern_seeds_join(triples):
+    # written least-constrained first; the planner must still connect
+    out = bgp_match(triples, [
+        ("?s", "?p", "?o"),
+        ("?s", "type", "Place"),
+    ])
+    rows = sorted((r.s, r.p, r.o) for r in out.collect())
+    assert rows == [("c", "name", "Cave"), ("c", "type", "Place")]
+
+
+def test_disconnected_pattern_raises(triples):
+    with pytest.raises(ValueError, match="disconnected"):
+        bgp_match(triples, [
+            ("?a", "type", "Person"),
+            ("?b", "name", "?n"),  # no shared variable -> cartesian
+        ])
+
+
+def test_all_constant_pattern_raises(triples):
+    with pytest.raises(ValueError, match="all-constant"):
+        bgp_match(triples, [("a", "type", "Person")])
+
+
+def test_empty_bgp_raises(triples):
+    with pytest.raises(ValueError, match="empty"):
+        bgp_match(triples, [])
+
+
+def test_no_cartesian_in_plan(triples):
+    out = bgp_match(triples, [
+        ("?s", "type", "Person"),
+        ("?s", "knows", "?o"),
+    ])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan
+    assert "BroadcastNestedLoop" not in plan
+
+
+def test_constant_filter_reaches_scan(spark, tmp_path):
+    # constants must push down to the parquet reader
+    p = str(tmp_path / "t.parquet")
+    spark.createDataFrame(TRIPLES, ["subj", "pred", "obj"]).write.parquet(p)
+    t = spark.read.parquet(p)
+    out = bgp_match(t, [("?s", "type", "?o")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(pred), EqualTo(pred,type)" in plan
