@@ -852,6 +852,31 @@ def q_event_deltas(spark, sf_dir):
     return event_deltas(_t(spark, sf_dir, "events")).orderBy("event_id")
 
 
+def q_skew_salted_join(spark, sf_dir):
+    """Hub-key-safe fact⋈dim join: events (event_type is a classic
+    power-law key — a handful of types carry most rows) joined to a
+    per-type stats dim through salted_join, which scatters each hot
+    key over key×salt buckets and replicates the dim; the result is
+    provably the plain join (the oracle IS the plain join). Values go
+    through floor(value*1000) millis so the hot-row predicate
+    compares integers — bit-identical across engines."""
+    from rdf_converter_spark.operators.salt import salted_join
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type",
+        F.floor(F.col("value") * F.lit(1000e0)).alias("vm"),
+    )
+    dim = ev.groupBy("event_type").agg(
+        F.sum("vm").alias("s"), F.count(F.lit(1)).alias("n")
+    )
+    out = salted_join(ev, dim, ["event_type"], num_salts=8)
+    return (
+        out.filter(F.col("vm") * F.col("n") > F.lit(2) * F.col("s"))
+        .select("event_id", "event_type", "vm")
+        .orderBy("event_id")
+    )
+
+
 def q_hll_distinct(spark, sf_dir):
     """HyperLogLog distinct-shingle estimate per language next to the
     exact count: m=64 registers of bounded state vs countDistinct's
@@ -1130,6 +1155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": q_corpus_rollup,
         "bm25": q_bm25,
         "event_deltas": q_event_deltas,
+        "skew_salted_join": q_skew_salted_join,
         "hll_distinct": q_hll_distinct,
         "star_join_revenue": q_star_join_revenue,
         "mixture_sample": q_mixture_sample,
@@ -2214,6 +2240,22 @@ def oracle_sql() -> dict[str, str]:
                        AS gap_seconds
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ORDER BY event_id
+        """,
+        # the oracle is the UNSALTED join — proving the salt is pure
+        # plumbing that never changes the match set
+        "skew_salted_join": """
+            WITH ev AS (
+              SELECT event_id, event_type,
+                     CAST(floor(value * 1000e0) AS BIGINT) AS vm
+              FROM events
+            ), dim AS (
+              SELECT event_type, sum(vm) AS s, count(*) AS n
+              FROM ev GROUP BY 1
+            )
+            SELECT event_id, event_type, vm
+            FROM ev JOIN dim USING (event_type)
+            WHERE vm * n > 2 * s
             ORDER BY event_id
         """,
         "normalize_text": """

@@ -48,3 +48,41 @@ def salted_dedup(
         keys + ["_salt"]
     )
     return local.drop("_salt").dropDuplicates(keys)
+
+
+def salted_join(
+    big: DataFrame, dim: DataFrame, on: Sequence[str],
+    num_salts: int = 16, how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: hub keys on the big side fan out over
+    ``num_salts`` shuffle buckets.
+
+    The big side gets a deterministic per-row salt (hash of the whole
+    row — stable across task retries, unlike ``rand``/partition id),
+    the dim side is replicated ``num_salts`` times, and the join runs
+    on ``key x salt``, so one hub entity's rows land on ``num_salts``
+    reducers instead of one. The result is exactly ``big JOIN dim ON
+    keys`` — salting never changes which rows match, only where they
+    meet.
+
+    When to use which skew tool: a *broadcastable* dim needs no salt
+    (no shuffle at all); AQE's skew-join split handles moderate skew
+    on sort-merge joins after the fact; explicit salting is for the
+    mid-size dim (too big to broadcast) against a fact side whose key
+    histogram is power-law — the hub-entity shape of a web-crawl KG.
+    Non-key column names must be disjoint between the two sides.
+    ``how`` supports inner and left joins (the replicated dim makes
+    right/outer duplicates unmatched rows ``num_salts`` times).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left, got %r" % how)
+    keys = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(num_salts)
+    ).cast("int")
+    b = big.withColumn("_salt", salt)
+    d = dim.withColumn(
+        "_salt",
+        F.explode(F.array(*[F.lit(i) for i in range(num_salts)])),
+    )
+    return b.join(d, keys + ["_salt"], how).drop("_salt")
