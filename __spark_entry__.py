@@ -165,6 +165,95 @@ def q_bgp_match(spark, sf_dir):
     ).orderBy("cust", "nation", "segment")
 
 
+def q_bgp_optional(spark, sf_dir):
+    """SPARQL OPTIONAL: every typed customer with their name, plus
+    order URI + date where orders exist — the optional group is its
+    own sub-BGP left-joined on the shared variable, so orderless
+    customers survive with null bindings (coalesced to '' for the
+    engine-neutral hash; the unit tests pin the true nulls)."""
+    from rdf_converter_spark.operators.bgp import bgp_match
+
+    base = "http://kg.test/"
+    kg = _kg_tpch_unordered(spark, sf_dir)
+    out = bgp_match(
+        kg,
+        [
+            ("?c", base + "ontology#type", base + "Customer"),
+            ("?c", base + "ontology#name", "?nm"),
+        ],
+        optional=[[
+            ("?o", base + "ontology#by", "?c"),
+            ("?o", base + "ontology#date", "?d"),
+        ]],
+    )
+    return out.select(
+        F.col("c").alias("cust"), F.col("nm").alias("name"),
+        F.coalesce(F.col("o"), F.lit("")).alias("order_uri"),
+        F.coalesce(F.col("d"), F.lit("")).alias("odate"),
+    ).orderBy("cust", "order_uri")
+
+
+def q_property_table(spark, sf_dir):
+    """Property-table pivot: the star-pattern layout (one row per
+    entity, one column per predicate) via a single conditional-min
+    hash aggregate — no pivot discovery pass, no driver metadata."""
+    from rdf_converter_spark.operators.bgp import property_table
+
+    base = "http://kg.test/"
+    kg = _kg_tpch_unordered(spark, sf_dir)
+    pt = property_table(kg, {
+        "typ": base + "ontology#type",
+        "name": base + "ontology#name",
+        "nation": base + "ontology#nation",
+        "segment": base + "ontology#segment",
+    })
+    return (
+        pt.filter(F.col("typ") == base + "Customer")
+        .select("entity", "name", "nation", "segment")
+        .orderBy("entity")
+    )
+
+
+_BGP_OPTIONAL_ORACLE = """
+WITH kg AS (%s), req AS (
+  SELECT t1.subj AS c, t2.obj AS nm
+  FROM kg t1
+  JOIN kg t2 ON t2.subj = t1.subj
+            AND t2.pred = 'http://kg.test/ontology#name'
+  WHERE t1.pred = 'http://kg.test/ontology#type'
+    AND t1.obj = 'http://kg.test/Customer'
+), opt AS (
+  SELECT ob.subj AS o, ob.obj AS c, dd.obj AS d
+  FROM kg ob
+  JOIN kg dd ON dd.subj = ob.subj
+            AND dd.pred = 'http://kg.test/ontology#date'
+  WHERE ob.pred = 'http://kg.test/ontology#by'
+)
+SELECT req.c AS cust, req.nm AS name,
+       coalesce(opt.o, '') AS order_uri,
+       coalesce(opt.d, '') AS odate
+FROM req LEFT JOIN opt ON opt.c = req.c
+ORDER BY cust, order_uri
+""" % _KG_TPCH_ORACLE
+
+
+_PROPERTY_TABLE_ORACLE = """
+WITH kg AS (%s)
+SELECT subj AS entity,
+       min(CASE WHEN pred = 'http://kg.test/ontology#name'
+                THEN obj END) AS name,
+       min(CASE WHEN pred = 'http://kg.test/ontology#nation'
+                THEN obj END) AS nation,
+       min(CASE WHEN pred = 'http://kg.test/ontology#segment'
+                THEN obj END) AS segment
+FROM kg
+GROUP BY subj
+HAVING min(CASE WHEN pred = 'http://kg.test/ontology#type'
+                THEN obj END) = 'http://kg.test/Customer'
+ORDER BY entity
+""" % _KG_TPCH_ORACLE
+
+
 _BGP_ORACLE = """
 WITH kg AS (%s)
 SELECT t1.subj AS cust, t2.obj AS nation, t4.obj AS segment
@@ -1100,6 +1189,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "kg_tpch_triples": kg_tpch_triples,
         "bgp_match": q_bgp_match,
+        "bgp_optional": q_bgp_optional,
+        "property_table": q_property_table,
         "scan_filter_project": scan_filter_project,
         "agg_partial": agg_partial,
         "broadcast_dim_join": broadcast_dim_join,
@@ -1258,6 +1349,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_tpch_triples": _KG_TPCH_ORACLE,
         "bgp_match": _BGP_ORACLE,
+        "bgp_optional": _BGP_OPTIONAL_ORACLE,
+        "property_table": _PROPERTY_TABLE_ORACLE,
         "scan_filter_project": """
             SELECT l_orderkey, l_linenumber,
                    upper(trim(l_returnflag)) AS flag,

@@ -73,7 +73,9 @@ def _pattern_relation(triples: DataFrame, pat: Sequence[str]) -> DataFrame:
 
 
 def bgp_match(
-    triples: DataFrame, patterns: Sequence[Tuple[str, str, str]]
+    triples: DataFrame,
+    patterns: Sequence[Tuple[str, str, str]],
+    optional: Sequence[Sequence[Tuple[str, str, str]]] = (),
 ) -> DataFrame:
     """Match a basic graph pattern against ``triples``.
 
@@ -82,6 +84,12 @@ def bgp_match(
     matched against the column value. Returns one column per distinct
     variable, one row per solution mapping (SPARQL bag-join
     semantics over the deduplicated triple set).
+
+    ``optional`` takes OPTIONAL groups — each its own pattern list,
+    matched as a sub-BGP and LEFT-joined to the required solution on
+    the shared variables (SPARQL ``OPTIONAL { ... }``): new variables
+    bind where the group matches and stay null where it doesn't,
+    without discarding the required row.
     """
     pats = list(patterns)
     if not pats:
@@ -116,4 +124,42 @@ def bgp_match(
             shared = sorted(bound_vars & set(rel.columns))
             bound = bound.join(rel, on=shared)
         bound_vars |= set(rel.columns)
+    for group in optional:
+        rel = bgp_match(triples, group)
+        shared = sorted(bound_vars & set(rel.columns))
+        if not shared:
+            raise ValueError(
+                "OPTIONAL group %r shares no variable with the "
+                "required pattern %r" % (list(group), sorted(bound_vars))
+            )
+        bound = bound.join(rel, on=shared, how="left")
+        bound_vars |= set(rel.columns)
     return bound
+
+
+def property_table(
+    triples: DataFrame, preds: "dict[str, str]", key: str = "subj"
+) -> DataFrame:
+    """Pivot the predicate-per-row triple table into the classic
+    *property table* layout (one row per entity, one column per
+    predicate) — the star-pattern fast path every production triple
+    store keeps next to its SPO index.
+
+    ``preds`` maps output column name -> predicate URI. Compiles to
+    ONE hash aggregate with conditional ``min`` per predicate —
+    explicit predicate list, so no discovery pass over ``pred`` and
+    no pivot metadata on the driver; multi-valued predicates resolve
+    to ``min(obj)`` (deterministic, order-independent). Entities
+    lacking a predicate get null, exactly like an unmatched SPARQL
+    OPTIONAL."""
+    if not preds:
+        raise ValueError("property_table needs at least one predicate")
+    aggs = [
+        F.min(F.when(F.col("pred") == uri, F.col("obj"))).alias(name)
+        for name, uri in preds.items()
+    ]
+    return (
+        triples.filter(F.col("pred").isin(list(preds.values())))
+        .groupBy(F.col(key).alias("entity"))
+        .agg(*aggs)
+    )

@@ -82,6 +82,51 @@ def test_empty_bgp_raises(triples):
         bgp_match(triples, [])
 
 
+def test_optional_binds_where_matched_nulls_elsewhere(triples):
+    out = bgp_match(
+        triples,
+        [("?s", "type", "Person")],
+        optional=[[("?s", "knows", "?o"), ("?o", "type", "Place")]],
+    )
+    rows = sorted(
+        (r.s, r.o) for r in out.collect()
+    )
+    # a knows nobody typed Place -> null; b knows c (a Place)
+    assert rows == [("a", None), ("b", "c")]
+
+
+def test_optional_group_must_share_a_variable(triples):
+    with pytest.raises(ValueError, match="OPTIONAL"):
+        bgp_match(
+            triples,
+            [("?s", "type", "Person")],
+            optional=[[("?x", "likes", "?y")]],
+        )
+
+
+def test_property_table_pivot(triples):
+    from rdf_converter_spark.operators.bgp import property_table
+
+    pt = property_table(
+        triples, {"typ": "type", "nm": "name", "friend": "knows"}
+    )
+    rows = {r.entity: (r.typ, r.nm, r.friend) for r in pt.collect()}
+    assert rows["a"] == ("Person", "Alice", "b")
+    # b knows a and c -> deterministic min
+    assert rows["b"] == ("Person", "Bob", "a")
+    # x has none of the pivoted predicates -> pre-agg filter drops it
+    assert "x" not in rows
+
+
+def test_property_table_single_aggregate_plan(triples):
+    from rdf_converter_spark.operators.bgp import property_table
+
+    pt = property_table(triples, {"typ": "type", "nm": "name"})
+    plan = pt._jdf.queryExecution().executedPlan().toString()
+    # one hash-aggregate pair (partial + final), no pivot/expand node
+    assert "Expand" not in plan
+
+
 def test_no_cartesian_in_plan(triples):
     out = bgp_match(triples, [
         ("?s", "type", "Person"),
