@@ -214,6 +214,195 @@ def q_property_table(spark, sf_dir):
     )
 
 
+def q_sparql_construct(spark, sf_dir):
+    """SPARQL CONSTRUCT (operators/bgp.py:construct): derive a new
+    graph from the KG — every EUROPE customer is typed EuropeanCustomer
+    and linked to its nation; the OPTIONAL-bound order variable shows
+    the spec's unbound-term omission (template triples with a null
+    term are dropped). One BGP evaluation, all template triples fanned
+    out in a single explode, set-semantics distinct."""
+    from rdf_converter_spark.operators.bgp import construct
+
+    base = "http://kg.test/"
+    kg = _kg_tpch_unordered(spark, sf_dir)
+    g = construct(
+        kg,
+        [
+            ("?c", base + "ontology#type", base + "Customer"),
+            ("?c", base + "ontology#nation", "?n"),
+            ("?n", base + "ontology#region", "EUROPE"),
+        ],
+        template=[
+            ("?c", base + "ontology#type", base + "EuropeanCustomer"),
+            ("?c", base + "ontology#memberOf", "?n"),
+            ("?o", base + "ontology#derivedFrom", "?c"),
+        ],
+        optional=[[("?o", base + "ontology#by", "?c")]],
+    )
+    return g.orderBy("subj", "pred", "obj")
+
+
+_SPARQL_CONSTRUCT_ORACLE = """
+WITH kg AS (%s), sols AS (
+  SELECT t1.subj AS c, t2.obj AS n, ob.subj AS o
+  FROM kg t1
+  JOIN kg t2 ON t2.subj = t1.subj
+            AND t2.pred = 'http://kg.test/ontology#nation'
+  JOIN kg t3 ON t3.subj = t2.obj
+            AND t3.pred = 'http://kg.test/ontology#region'
+            AND t3.obj = 'EUROPE'
+  LEFT JOIN kg ob ON ob.pred = 'http://kg.test/ontology#by'
+                 AND ob.obj = t1.subj
+  WHERE t1.pred = 'http://kg.test/ontology#type'
+    AND t1.obj = 'http://kg.test/Customer'
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT c AS subj, 'http://kg.test/ontology#type' AS pred,
+         'http://kg.test/EuropeanCustomer' AS obj FROM sols
+  UNION ALL
+  SELECT c, 'http://kg.test/ontology#memberOf', n FROM sols
+  UNION ALL
+  SELECT o, 'http://kg.test/ontology#derivedFrom', c FROM sols
+  WHERE o IS NOT NULL
+)
+ORDER BY subj, pred, obj
+""" % _KG_TPCH_ORACLE
+
+
+def q_rdfs_entail(spark, sf_dir):
+    """RDFS closure (operators/rdfs.py): a 10-triple EBU-Core-shaped
+    ontology (class chain Customer<Agent<Entity etc., property chain
+    by<party<involves, domain on the SUPER-property, range on by) over
+    the full constructed KG. Every rule join broadcasts the
+    ontology-sized side; the oracle unrolls the hand-closed
+    hierarchies — the engine's iterative-doubling closure must agree
+    with them exactly."""
+    from rdf_converter_spark.operators.rdfs import RDFS, rdfs_entail
+
+    base = "http://kg.test/"
+    o = base + "ontology#"
+    sc, sp = RDFS + "subClassOf", RDFS + "subPropertyOf"
+    dom, rng = RDFS + "domain", RDFS + "range"
+    schema_rows = [
+        (base + "Customer", sc, base + "Agent"),
+        (base + "Agent", sc, base + "Entity"),
+        (base + "Order", sc, base + "Event"),
+        (base + "Event", sc, base + "Entity"),
+        (base + "Purchaser", sc, base + "Agent"),
+        (base + "Interaction", sc, base + "Event"),
+        (o + "by", sp, o + "party"),
+        (o + "party", sp, o + "involves"),
+        (o + "involves", dom, base + "Interaction"),
+        (o + "by", rng, base + "Purchaser"),
+    ]
+    schema = spark.createDataFrame(
+        [(s, p, ob, True) for s, p, ob in schema_rows],
+        ["subj", "pred", "obj", "obj_is_uri"],
+    )
+    kg = _kg_tpch_unordered(spark, sf_dir).select(
+        "subj", "pred", "obj", "obj_is_uri")
+    out = rdfs_entail(
+        kg.unionByName(schema),
+        type_pred=o + "type",
+        uri_flag="obj_is_uri",
+    )
+    return out.orderBy("subj", "pred", "obj")
+
+
+_RDFS_ENTAIL_ORACLE = """
+WITH kg AS (%s), inst AS (
+  SELECT subj, pred, obj, obj_is_uri FROM kg
+), sc AS (
+  SELECT * FROM (VALUES
+    ('http://kg.test/Customer', 'http://kg.test/Agent'),
+    ('http://kg.test/Customer', 'http://kg.test/Entity'),
+    ('http://kg.test/Agent', 'http://kg.test/Entity'),
+    ('http://kg.test/Order', 'http://kg.test/Event'),
+    ('http://kg.test/Order', 'http://kg.test/Entity'),
+    ('http://kg.test/Event', 'http://kg.test/Entity'),
+    ('http://kg.test/Purchaser', 'http://kg.test/Agent'),
+    ('http://kg.test/Purchaser', 'http://kg.test/Entity'),
+    ('http://kg.test/Interaction', 'http://kg.test/Event'),
+    ('http://kg.test/Interaction', 'http://kg.test/Entity')
+  ) AS t(child, parent)
+), sp AS (
+  SELECT * FROM (VALUES
+    ('http://kg.test/ontology#by', 'http://kg.test/ontology#party'),
+    ('http://kg.test/ontology#by', 'http://kg.test/ontology#involves'),
+    ('http://kg.test/ontology#party', 'http://kg.test/ontology#involves')
+  ) AS t(child, parent)
+), schema_t AS (
+  SELECT * FROM (VALUES
+    ('http://kg.test/Customer',
+     'http://www.w3.org/2000/01/rdf-schema#subClassOf',
+     'http://kg.test/Agent'),
+    ('http://kg.test/Agent',
+     'http://www.w3.org/2000/01/rdf-schema#subClassOf',
+     'http://kg.test/Entity'),
+    ('http://kg.test/Order',
+     'http://www.w3.org/2000/01/rdf-schema#subClassOf',
+     'http://kg.test/Event'),
+    ('http://kg.test/Event',
+     'http://www.w3.org/2000/01/rdf-schema#subClassOf',
+     'http://kg.test/Entity'),
+    ('http://kg.test/Purchaser',
+     'http://www.w3.org/2000/01/rdf-schema#subClassOf',
+     'http://kg.test/Agent'),
+    ('http://kg.test/Interaction',
+     'http://www.w3.org/2000/01/rdf-schema#subClassOf',
+     'http://kg.test/Event'),
+    ('http://kg.test/ontology#by',
+     'http://www.w3.org/2000/01/rdf-schema#subPropertyOf',
+     'http://kg.test/ontology#party'),
+    ('http://kg.test/ontology#party',
+     'http://www.w3.org/2000/01/rdf-schema#subPropertyOf',
+     'http://kg.test/ontology#involves'),
+    ('http://kg.test/ontology#involves',
+     'http://www.w3.org/2000/01/rdf-schema#domain',
+     'http://kg.test/Interaction'),
+    ('http://kg.test/ontology#by',
+     'http://www.w3.org/2000/01/rdf-schema#range',
+     'http://kg.test/Purchaser')
+  ) AS t(subj, pred, obj)
+), r7 AS (
+  SELECT i.subj, s.parent AS pred, i.obj, i.obj_is_uri
+  FROM inst i JOIN sp s ON i.pred = s.child
+), ext AS (
+  SELECT subj, pred, obj, obj_is_uri FROM inst
+  UNION ALL SELECT subj, pred, obj, obj_is_uri FROM r7
+), r2 AS (
+  SELECT subj, 'http://kg.test/ontology#type' AS pred,
+         'http://kg.test/Interaction' AS obj
+  FROM ext WHERE pred = 'http://kg.test/ontology#involves'
+), r3 AS (
+  SELECT obj AS subj, 'http://kg.test/ontology#type' AS pred,
+         'http://kg.test/Purchaser' AS obj
+  FROM ext WHERE pred = 'http://kg.test/ontology#by' AND obj_is_uri
+), types AS (
+  SELECT subj, obj FROM ext
+  WHERE pred = 'http://kg.test/ontology#type'
+  UNION ALL SELECT subj, obj FROM r2
+  UNION ALL SELECT subj, obj FROM r3
+), r9 AS (
+  SELECT t.subj, 'http://kg.test/ontology#type' AS pred,
+         c.parent AS obj
+  FROM types t JOIN sc c ON t.obj = c.child
+)
+SELECT DISTINCT subj, pred, obj FROM (
+  SELECT subj, pred, obj FROM ext
+  UNION ALL SELECT * FROM r2
+  UNION ALL SELECT * FROM r3
+  UNION ALL SELECT * FROM r9
+  UNION ALL SELECT * FROM schema_t
+  UNION ALL SELECT child,
+    'http://www.w3.org/2000/01/rdf-schema#subClassOf', parent FROM sc
+  UNION ALL SELECT child,
+    'http://www.w3.org/2000/01/rdf-schema#subPropertyOf', parent FROM sp
+)
+ORDER BY subj, pred, obj
+""" % _KG_TPCH_ORACLE
+
+
 _BGP_OPTIONAL_ORACLE = """
 WITH kg AS (%s), req AS (
   SELECT t1.subj AS c, t2.obj AS nm
@@ -1191,6 +1380,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_match": q_bgp_match,
         "bgp_optional": q_bgp_optional,
         "property_table": q_property_table,
+        "sparql_construct": q_sparql_construct,
+        "rdfs_entail": q_rdfs_entail,
         "scan_filter_project": scan_filter_project,
         "agg_partial": agg_partial,
         "broadcast_dim_join": broadcast_dim_join,
@@ -1351,6 +1542,8 @@ def oracle_sql() -> dict[str, str]:
         "bgp_match": _BGP_ORACLE,
         "bgp_optional": _BGP_OPTIONAL_ORACLE,
         "property_table": _PROPERTY_TABLE_ORACLE,
+        "sparql_construct": _SPARQL_CONSTRUCT_ORACLE,
+        "rdfs_entail": _RDFS_ENTAIL_ORACLE,
         "scan_filter_project": """
             SELECT l_orderkey, l_linenumber,
                    upper(trim(l_returnflag)) AS flag,

@@ -127,6 +127,12 @@ HEADLINE = [
     "sequence_pack",
     "khop_neighborhood",
     "snapshot_diff",
+    "bgp_match",
+    "bgp_optional",
+    "property_table",
+    "skew_salted_join",
+    "sparql_construct",
+    "rdfs_entail",
 ]
 
 

@@ -137,6 +137,55 @@ def bgp_match(
     return bound
 
 
+def construct(
+    triples: DataFrame,
+    patterns: Sequence[Tuple[str, str, str]],
+    template: Sequence[Tuple[str, str, str]],
+    optional: Sequence[Sequence[Tuple[str, str, str]]] = (),
+) -> DataFrame:
+    """SPARQL ``CONSTRUCT``: match the BGP (with optional groups),
+    instantiate each ``template`` triple from the solution bindings,
+    and return the resulting graph as a deduplicated
+    ``(subj, pred, obj)`` DataFrame — the KG-construction query form
+    (rdflib ``Graph.query`` with a CONSTRUCT body returns exactly
+    this as a new in-memory graph).
+
+    Template terms starting with ``?`` take the bound value; other
+    terms are constants. Per the SPARQL spec, a template triple whose
+    instantiation has an unbound (null) term — e.g. a variable bound
+    only inside an unmatched OPTIONAL — is silently omitted.
+
+    Plan shape: the solution relation is computed ONCE; all template
+    triples are emitted in a single projection (array-of-structs +
+    explode), so k template triples do not re-run the BGP joins k
+    times. The only exchange beyond the BGP's own joins is the final
+    ``distinct`` (CONSTRUCT returns a set-semantics graph)."""
+    if not template:
+        raise ValueError("empty CONSTRUCT template")
+    sols = bgp_match(triples, patterns, optional)
+
+    def term(t: str):
+        return F.col(t[1:]) if _is_var(t) else F.lit(t)
+
+    structs = [
+        F.struct(
+            term(s).alias("subj"), term(p).alias("pred"),
+            term(o).alias("obj"),
+        )
+        for s, p, o in template
+    ]
+    return (
+        sols.select(F.explode(F.array(*structs)).alias("t"))
+        .select("t.subj", "t.pred", "t.obj")
+        .filter(
+            F.col("subj").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("obj").isNotNull()
+        )
+        .distinct()
+    )
+
+
 def property_table(
     triples: DataFrame, preds: "dict[str, str]", key: str = "subj"
 ) -> DataFrame:

@@ -137,6 +137,61 @@ def test_no_cartesian_in_plan(triples):
     assert "BroadcastNestedLoop" not in plan
 
 
+def test_construct_template_instantiation(triples):
+    from rdf_converter_spark.operators.bgp import construct
+
+    g = construct(
+        triples,
+        [("?s", "type", "Person"), ("?s", "knows", "?o")],
+        template=[("?s", "friendOf", "?o"), ("?s", "a", "Friendly")],
+    )
+    rows = {(r.subj, r.pred, r.obj) for r in g.collect()}
+    assert rows == {
+        ("a", "friendOf", "b"), ("b", "friendOf", "a"),
+        ("b", "friendOf", "c"),
+        # constant-template triple deduplicates across solutions
+        ("a", "a", "Friendly"), ("b", "a", "Friendly"),
+    }
+
+
+def test_construct_omits_unbound_optional_terms(triples):
+    from rdf_converter_spark.operators.bgp import construct
+
+    # ?o binds only where the OPTIONAL matched; per the SPARQL spec
+    # template triples with an unbound term are silently dropped
+    g = construct(
+        triples,
+        [("?s", "type", "Person")],
+        template=[("?s", "placeFriend", "?o")],
+        optional=[[("?s", "knows", "?o"), ("?o", "type", "Place")]],
+    )
+    rows = {(r.subj, r.pred, r.obj) for r in g.collect()}
+    assert rows == {("b", "placeFriend", "c")}
+
+
+def test_construct_empty_template_raises(triples):
+    from rdf_converter_spark.operators.bgp import construct
+
+    with pytest.raises(ValueError, match="template"):
+        construct(triples, [("?s", "type", "Person")], template=[])
+
+
+def test_construct_single_bgp_evaluation(triples):
+    from rdf_converter_spark.operators.bgp import construct
+
+    # k template triples must not re-run the BGP joins k times: the
+    # solution relation is joined once and fanned out via explode
+    g = construct(
+        triples,
+        [("?s", "type", "Person"), ("?s", "knows", "?o")],
+        template=[("?s", "p1", "?o"), ("?o", "p2", "?s"),
+                  ("?s", "p3", "known")],
+    )
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1  # one explode
+    assert "Cartesian" not in plan
+
+
 def test_constant_filter_reaches_scan(spark, tmp_path):
     # constants must push down to the parquet reader
     p = str(tmp_path / "t.parquet")
