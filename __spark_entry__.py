@@ -269,15 +269,12 @@ ORDER BY subj, pred, obj
 """ % _KG_TPCH_ORACLE
 
 
-def q_rdfs_entail(spark, sf_dir):
-    """RDFS closure (operators/rdfs.py): a 10-triple EBU-Core-shaped
-    ontology (class chain Customer<Agent<Entity etc., property chain
-    by<party<involves, domain on the SUPER-property, range on by) over
-    the full constructed KG. Every rule join broadcasts the
-    ontology-sized side; the oracle unrolls the hand-closed
-    hierarchies — the engine's iterative-doubling closure must agree
-    with them exactly."""
-    from rdf_converter_spark.operators.rdfs import RDFS, rdfs_entail
+def _rdfs_test_schema(spark):
+    """The 10-triple EBU-Core-shaped test ontology shared by
+    q_rdfs_entail and q_rdfs_incremental (class chain
+    Customer<Agent<Entity etc., property chain by<party<involves,
+    domain on the SUPER-property, range on by)."""
+    from rdf_converter_spark.operators.rdfs import RDFS
 
     base = "http://kg.test/"
     o = base + "ontology#"
@@ -295,18 +292,112 @@ def q_rdfs_entail(spark, sf_dir):
         (o + "involves", dom, base + "Interaction"),
         (o + "by", rng, base + "Purchaser"),
     ]
-    schema = spark.createDataFrame(
+    return spark.createDataFrame(
         [(s, p, ob, True) for s, p, ob in schema_rows],
         ["subj", "pred", "obj", "obj_is_uri"],
     )
+
+
+def q_rdfs_entail(spark, sf_dir):
+    """RDFS closure (operators/rdfs.py) of the test ontology over the
+    full constructed KG. Every rule join broadcasts the
+    ontology-sized side; the oracle unrolls the hand-closed
+    hierarchies — the engine's iterative-doubling closure must agree
+    with them exactly."""
+    from rdf_converter_spark.operators.rdfs import rdfs_entail
+
+    schema = _rdfs_test_schema(spark)
     kg = _kg_tpch_unordered(spark, sf_dir).select(
         "subj", "pred", "obj", "obj_is_uri")
     out = rdfs_entail(
         kg.unionByName(schema),
-        type_pred=o + "type",
+        type_pred="http://kg.test/ontology#type",
         uri_flag="obj_is_uri",
     )
     return out.orderBy("subj", "pred", "obj")
+
+
+def q_rdfs_incremental(spark, sf_dir):
+    """Incremental closure maintenance
+    (operators/rdfs.py:rdfs_entail_incremental): the store is closed
+    WITHOUT the ontology#by triples, then the by-triples arrive as a
+    delta — exactly the slice that drives rdfs7/2/3 (property chain,
+    domain, range). The delta closure is broadcast-anti-joined into
+    the store (store side never exchanges; plan-asserted in
+    tests/test_rdfs.py) and the result must equal the one-shot
+    closure bit-for-bit — the oracle IS the full-recompute twin."""
+    from rdf_converter_spark.operators.rdfs import (
+        rdfs_entail, rdfs_entail_incremental,
+    )
+
+    by = "http://kg.test/ontology#by"
+    schema = _rdfs_test_schema(spark)
+    kg = _kg_tpch_unordered(spark, sf_dir).select(
+        "subj", "pred", "obj", "obj_is_uri")
+    old = kg.filter(F.col("pred") != by)
+    delta = kg.filter(F.col("pred") == by)
+    closed = rdfs_entail(
+        old.unionByName(schema),
+        type_pred="http://kg.test/ontology#type",
+        uri_flag="obj_is_uri",
+    )
+    out = rdfs_entail_incremental(
+        closed, delta, schema.select("subj", "pred", "obj"),
+        type_pred="http://kg.test/ontology#type",
+        uri_flag="obj_is_uri",
+    )
+    return out.orderBy("subj", "pred", "obj")
+
+
+def q_bgp_filter_union(spark, sf_dir):
+    """SPARQL UNION + FILTER (operators/bgp.py:bgp_union): customers
+    in two mkt segments UNION orders with status F linked to their
+    customer — branch-only variables null-padded (coalesced to '' for
+    the engine-neutral hash), per-branch FILTERs in SPARQL ?var
+    syntax. Each branch is its own join tree; the union is a
+    zero-shuffle Union node."""
+    from rdf_converter_spark.operators.bgp import bgp_union
+
+    base = "http://kg.test/"
+    kg = _kg_tpch_unordered(spark, sf_dir)
+    out = bgp_union(
+        kg,
+        [
+            [("?c", base + "ontology#type", base + "Customer"),
+             ("?c", base + "ontology#segment", "?v")],
+            [("?o", base + "ontology#by", "?c"),
+             ("?o", base + "ontology#status", "?v")],
+        ],
+        filters=[["?v IN ('AUTOMOBILE', 'BUILDING')"], ["?v = 'F'"]],
+    )
+    return out.select(
+        F.col("c").alias("cust"),
+        F.coalesce(F.col("o"), F.lit("")).alias("order_uri"),
+        F.col("v").alias("val"),
+    ).orderBy("cust", "order_uri", "val")
+
+
+_BGP_FILTER_UNION_ORACLE = """
+WITH kg AS (%s), u AS (
+  SELECT t1.subj AS c, CAST(NULL AS VARCHAR) AS o, t2.obj AS v
+  FROM kg t1
+  JOIN kg t2 ON t2.subj = t1.subj
+            AND t2.pred = 'http://kg.test/ontology#segment'
+  WHERE t1.pred = 'http://kg.test/ontology#type'
+    AND t1.obj = 'http://kg.test/Customer'
+    AND t2.obj IN ('AUTOMOBILE', 'BUILDING')
+  UNION ALL
+  SELECT ob.obj AS c, ob.subj AS o, st.obj AS v
+  FROM kg ob
+  JOIN kg st ON st.subj = ob.subj
+            AND st.pred = 'http://kg.test/ontology#status'
+  WHERE ob.pred = 'http://kg.test/ontology#by'
+    AND st.obj = 'F'
+)
+SELECT c AS cust, coalesce(o, '') AS order_uri, v AS val
+FROM u
+ORDER BY cust, order_uri, val
+""" % _KG_TPCH_ORACLE
 
 
 _RDFS_ENTAIL_ORACLE = """
@@ -1382,6 +1473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "property_table": q_property_table,
         "sparql_construct": q_sparql_construct,
         "rdfs_entail": q_rdfs_entail,
+        "rdfs_incremental": q_rdfs_incremental,
+        "bgp_filter_union": q_bgp_filter_union,
         "scan_filter_project": scan_filter_project,
         "agg_partial": agg_partial,
         "broadcast_dim_join": broadcast_dim_join,
@@ -1544,6 +1637,8 @@ def oracle_sql() -> dict[str, str]:
         "property_table": _PROPERTY_TABLE_ORACLE,
         "sparql_construct": _SPARQL_CONSTRUCT_ORACLE,
         "rdfs_entail": _RDFS_ENTAIL_ORACLE,
+        "rdfs_incremental": _RDFS_ENTAIL_ORACLE,
+        "bgp_filter_union": _BGP_FILTER_UNION_ORACLE,
         "scan_filter_project": """
             SELECT l_orderkey, l_linenumber,
                    upper(trim(l_returnflag)) AS flag,

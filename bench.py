@@ -133,6 +133,8 @@ HEADLINE = [
     "skew_salted_join",
     "sparql_construct",
     "rdfs_entail",
+    "rdfs_incremental",
+    "bgp_filter_union",
 ]
 
 

@@ -29,12 +29,14 @@ Scale notes (100 TB lens):
 
 from __future__ import annotations
 
+import re
 from typing import Sequence, Tuple
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 _POS = ("subj", "pred", "obj")
+_FILTER_VAR = re.compile(r"\?(\w+)")
 
 
 def _is_var(term: str) -> bool:
@@ -76,6 +78,7 @@ def bgp_match(
     triples: DataFrame,
     patterns: Sequence[Tuple[str, str, str]],
     optional: Sequence[Sequence[Tuple[str, str, str]]] = (),
+    filters: Sequence[str] = (),
 ) -> DataFrame:
     """Match a basic graph pattern against ``triples``.
 
@@ -90,6 +93,16 @@ def bgp_match(
     the shared variables (SPARQL ``OPTIONAL { ... }``): new variables
     bind where the group matches and stay null where it doesn't,
     without discarding the required row.
+
+    ``filters`` takes SPARQL ``FILTER`` expressions as Spark SQL
+    boolean strings over the variable columns (e.g.
+    ``"seg IN ('BUILDING') AND n RLIKE 'germany'"``). They are
+    applied to the assembled solution, matching SPARQL's group-level
+    FILTER scope; Catalyst pushes deterministic conjuncts below the
+    joins on its own, so a filter on a single pattern's variable
+    still reaches that pattern's scan. A filter that evaluates to
+    NULL (e.g. over an unbound OPTIONAL variable) removes the row —
+    SPARQL's error-is-false rule.
     """
     pats = list(patterns)
     if not pats:
@@ -134,7 +147,55 @@ def bgp_match(
             )
         bound = bound.join(rel, on=shared, how="left")
         bound_vars |= set(rel.columns)
+    for expr in filters:
+        # SPARQL-style ?var tokens are validated against the bound
+        # set and rewritten to column references; plain identifiers
+        # pass through to Spark's analyzer (which raises
+        # UNRESOLVED_COLUMN on a typo anyway)
+        missing = [
+            v for v in _FILTER_VAR.findall(expr) if v not in bound_vars
+        ]
+        if missing:
+            raise ValueError(
+                "FILTER %r references unbound variables %s (bound: %s)"
+                % (expr, missing, sorted(bound_vars))
+            )
+        bound = bound.filter(F.expr(_FILTER_VAR.sub(r"`\1`", expr)))
     return bound
+
+
+def bgp_union(
+    triples: DataFrame,
+    groups: Sequence[Sequence[Tuple[str, str, str]]],
+    filters: Sequence[Sequence[str]] = (),
+) -> DataFrame:
+    """SPARQL ``UNION``: evaluate each alternative group as its own
+    BGP and take the bag union of the solution mappings. Variables
+    appearing in only some branches are null in the others' rows
+    (SPARQL leaves them unbound), so the result schema is the sorted
+    union of all branch variables.
+
+    Plan shape: each branch is an independent join tree; the union
+    itself is a zero-shuffle ``Union`` node — no dedup is applied
+    (SPARQL UNION is a bag operator; wrap in ``.distinct()`` for the
+    set view)."""
+    groups = [list(g) for g in groups]
+    if not groups:
+        raise ValueError("empty UNION")
+    fls = list(filters) if filters else [()] * len(groups)
+    if len(fls) != len(groups):
+        raise ValueError("filters must align 1:1 with UNION groups")
+    sols = [bgp_match(triples, g, filters=f) for g, f in zip(groups, fls)]
+    all_vars = sorted(set().union(*[set(s.columns) for s in sols]))
+    out = None
+    for s in sols:
+        padded = s.select(*[
+            (F.col(v) if v in s.columns
+             else F.lit(None).cast("string")).alias(v)
+            for v in all_vars
+        ])
+        out = padded if out is None else out.unionByName(padded)
+    return out
 
 
 def construct(

@@ -172,3 +172,60 @@ def rdfs_entail(
             F.col("parent").alias("obj")))
     )
     return out.distinct()
+
+
+def rdfs_entail_incremental(
+    closed: DataFrame,
+    delta: DataFrame,
+    schema_triples: DataFrame,
+    type_pred: str = RDF_TYPE,
+    subclass_pred: str = RDFS + "subClassOf",
+    subprop_pred: str = RDFS + "subPropertyOf",
+    domain_pred: str = RDFS + "domain",
+    range_pred: str = RDFS + "range",
+    uri_flag: str | None = None,
+) -> DataFrame:
+    """Maintain a materialized RDFS closure under newly arrived
+    instance triples WITHOUT recomputing over the store.
+
+    In the rho-df fragment with a static schema, every derived triple
+    traces back to exactly ONE instance triple (rdfs7 is linear in
+    the instance side, rdfs2/3 are linear over the rdfs7-extension,
+    rdfs9 is linear over the type triples) — so the closure
+    distributes over instance union:
+    ``closure(A ∪ Δ) = closure(A) ∪ closure(Δ)``. The incremental
+    step is therefore one ``rdfs_entail`` pass over the DELTA ONLY,
+    merged into the store.
+
+    Scale shape (the whole point at 10^12 triples): the delta closure
+    is bounded by the batch size, so it is BROADCAST into a left-anti
+    join against the store — ``closed`` never exchanges; the result
+    is ``(closed \\ new) ∪ new``, i.e. exactly
+    ``rdfs_entail(source(closed) ∪ delta)`` as a set, at delta cost.
+    Mirrors the bounded-delta merge contract of
+    ``operators/merge.py:upsert_triples``.
+
+    ``closed`` must be a previously materialized closure over the
+    SAME schema (``schema_triples``: the subClassOf / subPropertyOf /
+    domain / range triple set, ontology-sized by contract); ``delta``
+    carries instance triples only.
+    """
+    cols = ["subj", "pred", "obj"]
+    if uri_flag is not None:
+        new = rdfs_entail(
+            delta.select(*cols, uri_flag)
+            .unionByName(
+                schema_triples.select(*cols)
+                .withColumn(uri_flag, F.lit(True))),
+            type_pred, subclass_pred, subprop_pred,
+            domain_pred, range_pred, uri_flag,
+        )
+    else:
+        new = rdfs_entail(
+            delta.select(*cols).unionByName(schema_triples.select(*cols)),
+            type_pred, subclass_pred, subprop_pred,
+            domain_pred, range_pred,
+        )
+    survivors = closed.select(*cols).join(
+        F.broadcast(new), on=cols, how="left_anti")
+    return survivors.unionByName(new)

@@ -137,6 +137,85 @@ def test_no_cartesian_in_plan(triples):
     assert "BroadcastNestedLoop" not in plan
 
 
+def test_filter_sparql_var_syntax(triples):
+    out = bgp_match(
+        triples,
+        [("?s", "type", "Person"), ("?s", "name", "?n")],
+        filters=["?n RLIKE '^A'"],
+    )
+    assert [(r.s, r.n) for r in out.collect()] == [("a", "Alice")]
+
+
+def test_filter_plain_sql_identifiers(triples):
+    out = bgp_match(
+        triples,
+        [("?s", "type", "?t")],
+        filters=["t IN ('Place')", "length(s) = 1"],
+    )
+    assert [r.s for r in out.collect()] == ["c"]
+
+
+def test_filter_unbound_variable_raises(triples):
+    with pytest.raises(ValueError, match="unbound"):
+        bgp_match(triples, [("?s", "type", "Person")],
+                  filters=["?nope = 'x'"])
+
+
+def test_filter_null_optional_is_error_is_false(triples):
+    # SPARQL: FILTER over an unbound (null) variable errors -> false
+    out = bgp_match(
+        triples,
+        [("?s", "type", "Person")],
+        optional=[[("?s", "knows", "?o"), ("?o", "type", "Place")]],
+        filters=["?o <> 'zzz'"],
+    )
+    # a's ?o is null -> dropped; b's ?o = c survives
+    assert [(r.s, r.o) for r in out.collect()] == [("b", "c")]
+
+
+def test_union_pads_branch_only_variables_with_null(triples):
+    from rdf_converter_spark.operators.bgp import bgp_union
+
+    out = bgp_union(triples, [
+        [("?s", "type", "Person")],
+        [("?s", "likes", "?w")],
+    ])
+    assert out.columns == ["s", "w"]
+    rows = sorted((r.s, r.w) for r in out.collect())
+    assert rows == [("a", None), ("b", None), ("x", "x"), ("y", "z")]
+
+
+def test_union_is_bag_not_set(triples):
+    from rdf_converter_spark.operators.bgp import bgp_union
+
+    out = bgp_union(triples, [
+        [("?s", "type", "Person")],
+        [("?s", "type", "Person")],
+    ])
+    assert sorted(r.s for r in out.collect()) == ["a", "a", "b", "b"]
+
+
+def test_union_per_branch_filters(triples):
+    from rdf_converter_spark.operators.bgp import bgp_union
+
+    out = bgp_union(
+        triples,
+        [[("?s", "type", "Person")], [("?s", "type", "Place")]],
+        filters=[["?s = 'a'"], []],
+    )
+    assert sorted(r.s for r in out.collect()) == ["a", "c"]
+
+
+def test_union_validation(triples):
+    from rdf_converter_spark.operators.bgp import bgp_union
+
+    with pytest.raises(ValueError, match="empty UNION"):
+        bgp_union(triples, [])
+    with pytest.raises(ValueError, match="align"):
+        bgp_union(triples, [[("?s", "type", "Person")]],
+                  filters=[[], []])
+
+
 def test_construct_template_instantiation(triples):
     from rdf_converter_spark.operators.bgp import construct
 

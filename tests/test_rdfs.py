@@ -130,3 +130,44 @@ def test_schema_side_broadcast_instance_never_exchanged(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "Cartesian" not in plan
+
+
+def test_incremental_equals_full_recompute(spark):
+    from rdf_converter_spark.operators.rdfs import rdfs_entail_incremental
+
+    schema = _triples(spark, [
+        ("PlacedOrder", SC, "Event"), ("Event", SC, "Entity"),
+        ("by", SP, "party"),
+        ("by", DOM, "PlacedOrder"), ("by", RNG, "Purchaser"),
+    ])
+    old = _triples(spark, [
+        ("x", RDF_TYPE, "Event"), ("o0", "by", "c0"),
+    ])
+    delta = _triples(spark, [
+        ("o1", "by", "c1"), ("o2", "by", "c2"),
+        ("y", RDF_TYPE, "PlacedOrder"),
+    ])
+    closed = rdfs_entail(old.unionByName(schema))
+    inc = rdfs_entail_incremental(closed, delta, schema)
+    full = rdfs_entail(old.unionByName(delta).unionByName(schema))
+    assert _set(inc) == _set(full)
+    # and the incremental result is itself a set (no dup rows)
+    rows = inc.collect()
+    assert len(rows) == len(set(map(tuple, rows)))
+
+
+def test_incremental_store_never_exchanged(spark):
+    from rdf_converter_spark.operators.rdfs import rdfs_entail_incremental
+
+    schema = _triples(spark, [("by", DOM, "PlacedOrder")])
+    closed = rdfs_entail(
+        _triples(spark, [("o0", "by", "c0")]).unionByName(schema))
+    # materialize the store so its side of the plan is a plain scan
+    closed = closed.localCheckpoint()
+    delta = _triples(spark, [("o1", "by", "c1")])
+    inc = rdfs_entail_incremental(closed, delta, schema)
+    plan = inc._jdf.queryExecution().executedPlan().toString()
+    # the store is probed by a BROADCAST anti join: no shuffle
+    # exchange may appear between the store scan and the union
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
