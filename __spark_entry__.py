@@ -269,6 +269,58 @@ ORDER BY subj, pred, obj
 """ % _KG_TPCH_ORACLE
 
 
+def q_quad_graphs(spark, sf_dir):
+    """Named-graph (GRAPH-scoped) quad matching
+    (operators/bgp.py:quad_match): the KG split into 'orders' /
+    'entities' graphs by subject family — one pattern binds the graph
+    as a VARIABLE (provenance), the others scope to constant graphs
+    (a constant graph term lands in PartitionFilters on a
+    graph-partitioned table; plan-asserted in tests/test_bgp.py)."""
+    from rdf_converter_spark.operators.bgp import quad_match
+
+    base = "http://kg.test/"
+    o = base + "ontology#"
+    kg = _kg_tpch_unordered(spark, sf_dir)
+    quads = kg.withColumn(
+        "graph",
+        F.when(F.col("subj").startswith(base + "order/"),
+               F.lit("orders")).otherwise(F.lit("entities")),
+    )
+    out = quad_match(quads, [
+        ("?g", "?c", o + "type", base + "Customer"),
+        ("entities", "?c", o + "segment", "?seg"),
+        ("orders", "?ord", o + "by", "?c"),
+        ("orders", "?ord", o + "status", "F"),
+    ])
+    return out.select(
+        F.col("g").alias("graph_name"), F.col("c").alias("cust"),
+        F.col("ord").alias("order_uri"), F.col("seg").alias("segment"),
+    ).orderBy("cust", "order_uri")
+
+
+_QUAD_GRAPHS_ORACLE = """
+WITH kg AS (%s), q AS (
+  SELECT CASE WHEN subj LIKE 'http://kg.test/order/%%'
+              THEN 'orders' ELSE 'entities' END AS g,
+         subj, pred, obj
+  FROM kg
+)
+SELECT t1.g AS graph_name, t1.subj AS cust,
+       t3.subj AS order_uri, t2.obj AS segment
+FROM q t1
+JOIN q t2 ON t2.g = 'entities' AND t2.subj = t1.subj
+         AND t2.pred = 'http://kg.test/ontology#segment'
+JOIN q t3 ON t3.g = 'orders' AND t3.obj = t1.subj
+         AND t3.pred = 'http://kg.test/ontology#by'
+JOIN q t4 ON t4.g = 'orders' AND t4.subj = t3.subj
+         AND t4.pred = 'http://kg.test/ontology#status'
+         AND t4.obj = 'F'
+WHERE t1.pred = 'http://kg.test/ontology#type'
+  AND t1.obj = 'http://kg.test/Customer'
+ORDER BY cust, order_uri
+""" % _KG_TPCH_ORACLE
+
+
 def _rdfs_test_schema(spark):
     """The 10-triple EBU-Core-shaped test ontology shared by
     q_rdfs_entail and q_rdfs_incremental (class chain
@@ -1475,6 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfs_entail": q_rdfs_entail,
         "rdfs_incremental": q_rdfs_incremental,
         "bgp_filter_union": q_bgp_filter_union,
+        "quad_graphs": q_quad_graphs,
         "scan_filter_project": scan_filter_project,
         "agg_partial": agg_partial,
         "broadcast_dim_join": broadcast_dim_join,
@@ -1639,6 +1692,7 @@ def oracle_sql() -> dict[str, str]:
         "rdfs_entail": _RDFS_ENTAIL_ORACLE,
         "rdfs_incremental": _RDFS_ENTAIL_ORACLE,
         "bgp_filter_union": _BGP_FILTER_UNION_ORACLE,
+        "quad_graphs": _QUAD_GRAPHS_ORACLE,
         "scan_filter_project": """
             SELECT l_orderkey, l_linenumber,
                    upper(trim(l_returnflag)) AS flag,

@@ -135,6 +135,7 @@ HEADLINE = [
     "rdfs_entail",
     "rdfs_incremental",
     "bgp_filter_union",
+    "quad_graphs",
 ]
 
 

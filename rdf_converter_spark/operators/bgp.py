@@ -47,14 +47,16 @@ def _pattern_vars(pat: Sequence[str]) -> set:
     return {t[1:] for t in pat if _is_var(t)}
 
 
-def _pattern_relation(triples: DataFrame, pat: Sequence[str]) -> DataFrame:
+def _pattern_relation(
+    triples: DataFrame, pat: Sequence[str], positions: Sequence[str] = _POS
+) -> DataFrame:
     """One triple pattern -> binding relation: constants filter,
     variables project (repeated variables within the pattern filter
     for equality first, SPARQL ``?x :p ?x`` semantics)."""
     df = triples
     first_col = {}  # var name -> triple column carrying it
     order = []
-    for col, term in zip(_POS, pat):
+    for col, term in zip(positions, pat):
         if _is_var(term):
             v = term[1:]
             if not v:
@@ -79,6 +81,7 @@ def bgp_match(
     patterns: Sequence[Tuple[str, str, str]],
     optional: Sequence[Sequence[Tuple[str, str, str]]] = (),
     filters: Sequence[str] = (),
+    _positions: Sequence[str] = _POS,
 ) -> DataFrame:
     """Match a basic graph pattern against ``triples``.
 
@@ -130,7 +133,7 @@ def bgp_match(
                     % ([pats[i] for i in pending], sorted(bound_vars))
                 )
             idx = pending.pop(pos)
-        rel = _pattern_relation(triples, pats[idx])
+        rel = _pattern_relation(triples, pats[idx], _positions)
         if bound is None:
             bound = rel
         else:
@@ -138,7 +141,7 @@ def bgp_match(
             bound = bound.join(rel, on=shared)
         bound_vars |= set(rel.columns)
     for group in optional:
-        rel = bgp_match(triples, group)
+        rel = bgp_match(triples, group, _positions=_positions)
         shared = sorted(bound_vars & set(rel.columns))
         if not shared:
             raise ValueError(
@@ -196,6 +199,34 @@ def bgp_union(
         ])
         out = padded if out is None else out.unionByName(padded)
     return out
+
+
+def quad_match(
+    quads: DataFrame,
+    patterns: Sequence[Tuple[str, str, str, str]],
+    optional: Sequence[Sequence[Tuple[str, str, str, str]]] = (),
+    filters: Sequence[str] = (),
+    graph_col: str = "graph",
+) -> DataFrame:
+    """SPARQL ``GRAPH``-scoped matching over a QUAD table — the
+    engine's materialized triple tables carry a named-graph column
+    (``job.py`` writes ``partitionBy("graph")``, mirroring the
+    reference's one-rdflib-Graph-per-dataset layout,
+    ``converter.py``'s per-dataset ``.ttl`` outputs).
+
+    Each pattern is ``(g, s, p, o)``: the graph term is a constant
+    (``GRAPH <g> { ... }``) or a variable (``GRAPH ?g { ... }``)
+    exactly like the other positions. The scale point of the 4th
+    position: a CONSTANT graph term compiles to a filter on the
+    partition column, so partition pruning skips every other graph's
+    files entirely — the idiomatic layout for multi-tenant /
+    multi-source KG stores at 100 TB; a VARIABLE graph term joins
+    across graphs when shared (provenance queries: "which graphs
+    assert this?")."""
+    return bgp_match(
+        quads, patterns, optional, filters,
+        _positions=(graph_col,) + _POS,
+    )
 
 
 def construct(

@@ -271,6 +271,62 @@ def test_construct_single_bgp_evaluation(triples):
     assert "Cartesian" not in plan
 
 
+QUADS = [
+    ("g1", "a", "type", "Person"),
+    ("g1", "a", "name", "Alice"),
+    ("g2", "a", "type", "Person"),   # same assertion, second graph
+    ("g2", "b", "type", "Robot"),
+    ("g2", "b", "sees", "a"),
+]
+
+
+@pytest.fixture(scope="module")
+def quads(spark):
+    return spark.createDataFrame(QUADS, ["graph", "subj", "pred", "obj"])
+
+
+def test_quad_constant_graph_scopes_match(quads):
+    from rdf_converter_spark.operators.bgp import quad_match
+
+    out = quad_match(quads, [("g2", "?s", "type", "?t")])
+    rows = sorted((r.s, r.t) for r in out.collect())
+    assert rows == [("a", "Person"), ("b", "Robot")]
+
+
+def test_quad_variable_graph_binds_provenance(quads):
+    from rdf_converter_spark.operators.bgp import quad_match
+
+    # which graphs assert (a, type, Person)?
+    out = quad_match(quads, [("?g", "a", "type", "Person")])
+    assert sorted(r.g for r in out.collect()) == ["g1", "g2"]
+
+
+def test_quad_cross_graph_join(quads):
+    from rdf_converter_spark.operators.bgp import quad_match
+
+    # robot in g2 sees someone named in g1
+    out = quad_match(quads, [
+        ("g2", "?r", "sees", "?x"),
+        ("g1", "?x", "name", "?n"),
+    ])
+    assert [(r.r, r.x, r.n) for r in out.collect()] == [("b", "a", "Alice")]
+
+
+def test_quad_constant_graph_prunes_partitions(spark, tmp_path):
+    from rdf_converter_spark.operators.bgp import quad_match
+
+    p = str(tmp_path / "q.parquet")
+    spark.createDataFrame(QUADS, ["graph", "subj", "pred", "obj"]) \
+        .write.partitionBy("graph").parquet(p)
+    q = spark.read.parquet(p)
+    out = quad_match(q, [("g2", "?s", "?p", "?o")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the constant graph term must land in PartitionFilters (pruned
+    # at planning), not in the data filters
+    assert "PartitionFilters" in plan
+    assert "(graph" in plan.split("PartitionFilters")[1][:120]
+
+
 def test_constant_filter_reaches_scan(spark, tmp_path):
     # constants must push down to the parquet reader
     p = str(tmp_path / "t.parquet")
