@@ -321,6 +321,44 @@ ORDER BY cust, order_uri
 """ % _KG_TPCH_ORACLE
 
 
+def q_path_match(spark, sf_dir):
+    """SPARQL property path (operators/paths.py): order-to-region
+    traversal ``(by/nation/region)|status`` — a 3-step sequence path
+    composed by relational equi-joins, alternated (zero-shuffle
+    Union) with a single-step path. ``+`` closure is exercised in
+    tests/test_paths.py (convergent chain + bounded long chain)."""
+    from rdf_converter_spark.operators.paths import path_match
+
+    o = "http://kg.test/ontology#"
+    kg = _kg_tpch_unordered(spark, sf_dir)
+    out = path_match(
+        kg, "?ord",
+        "(<%sby>/<%snation>/<%sregion>)|<%sstatus>" % (o, o, o, o),
+        "?v",
+    )
+    return out.select(
+        F.col("ord").alias("order_uri"), F.col("v").alias("val"),
+    ).orderBy("order_uri", "val")
+
+
+_PATH_MATCH_ORACLE = """
+WITH kg AS (%s)
+SELECT order_uri, val FROM (
+  SELECT b.subj AS order_uri, r.obj AS val
+  FROM kg b
+  JOIN kg n ON n.subj = b.obj
+           AND n.pred = 'http://kg.test/ontology#nation'
+  JOIN kg r ON r.subj = n.obj
+           AND r.pred = 'http://kg.test/ontology#region'
+  WHERE b.pred = 'http://kg.test/ontology#by'
+  UNION ALL
+  SELECT subj, obj FROM kg
+  WHERE pred = 'http://kg.test/ontology#status'
+)
+ORDER BY order_uri, val
+""" % _KG_TPCH_ORACLE
+
+
 def _rdfs_test_schema(spark):
     """The 10-triple EBU-Core-shaped test ontology shared by
     q_rdfs_entail and q_rdfs_incremental (class chain
@@ -1528,6 +1566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfs_incremental": q_rdfs_incremental,
         "bgp_filter_union": q_bgp_filter_union,
         "quad_graphs": q_quad_graphs,
+        "path_match": q_path_match,
         "scan_filter_project": scan_filter_project,
         "agg_partial": agg_partial,
         "broadcast_dim_join": broadcast_dim_join,
@@ -1693,6 +1732,7 @@ def oracle_sql() -> dict[str, str]:
         "rdfs_incremental": _RDFS_ENTAIL_ORACLE,
         "bgp_filter_union": _BGP_FILTER_UNION_ORACLE,
         "quad_graphs": _QUAD_GRAPHS_ORACLE,
+        "path_match": _PATH_MATCH_ORACLE,
         "scan_filter_project": """
             SELECT l_orderkey, l_linenumber,
                    upper(trim(l_returnflag)) AS flag,

@@ -136,6 +136,7 @@ HEADLINE = [
     "rdfs_incremental",
     "bgp_filter_union",
     "quad_graphs",
+    "path_match",
 ]
 
 
