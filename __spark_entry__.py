@@ -359,6 +359,117 @@ ORDER BY order_uri, val
 """ % _KG_TPCH_ORACLE
 
 
+def q_sparql_minus(spark, sf_dir):
+    """SPARQL MINUS (operators/bgp.py): customers with their segment,
+    minus those whose nation is in EUROPE — the minus group is its
+    own sub-BGP left-anti-joined on the shared variable (AQE
+    broadcasts the minus selection when small). Oracle = NOT EXISTS
+    over the identical triple CTE."""
+    from rdf_converter_spark.operators.bgp import bgp_match
+
+    base = "http://kg.test/"
+    o = base + "ontology#"
+    kg = _kg_tpch_unordered(spark, sf_dir)
+    out = bgp_match(
+        kg,
+        [("?c", o + "type", base + "Customer"),
+         ("?c", o + "segment", "?seg")],
+        minus=[[("?c", o + "nation", "?n"),
+                ("?n", o + "region", "EUROPE")]],
+    )
+    return out.select(
+        F.col("c").alias("cust"), F.col("seg").alias("segment"),
+    ).orderBy("cust", "segment")
+
+
+_SPARQL_MINUS_ORACLE = """
+WITH kg AS (%s)
+SELECT t1.subj AS cust, t2.obj AS segment
+FROM kg t1
+JOIN kg t2 ON t2.subj = t1.subj
+          AND t2.pred = 'http://kg.test/ontology#segment'
+WHERE t1.pred = 'http://kg.test/ontology#type'
+  AND t1.obj = 'http://kg.test/Customer'
+  AND NOT EXISTS (
+    SELECT 1 FROM kg n
+    JOIN kg r ON r.subj = n.obj
+             AND r.pred = 'http://kg.test/ontology#region'
+             AND r.obj = 'EUROPE'
+    WHERE n.subj = t1.subj
+      AND n.pred = 'http://kg.test/ontology#nation'
+  )
+ORDER BY cust, segment
+""" % _KG_TPCH_ORACLE
+
+
+def q_r2rml_map(spark, sf_dir):
+    """R2RML-lite declarative mapping (operators/r2rml.py): one
+    triples map over the raw customer table — subject template +
+    class, literal / IRI-template / typed-literal predicate-object
+    maps, and a multi-valued split (c_name '#' tokens). Compiles to a single
+    array-of-structs + ONE explode (plan-asserted in
+    tests/test_r2rml.py)."""
+    from rdf_converter_spark.operators.r2rml import r2rml_triples
+
+    base = "http://kg.test/"
+    o = base + "ontology#"
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    customer = _t(spark, sf_dir, "customer")
+    out = r2rml_triples(customer, {
+        "subject": {"template": base + "customer/{c_custkey}",
+                    "class": base + "Customer"},
+        "predicate_objects": [
+            {"pred": o + "name", "column": "c_name"},
+            {"pred": o + "nationRef",
+             "template": base + "nation/{c_nationkey}"},
+            {"pred": o + "segment", "column": "c_mktsegment"},
+            {"pred": o + "custkey", "column": "c_custkey",
+             "datatype": xsd + "integer"},
+            {"pred": o + "nameToken", "column": "c_name",
+             "split": "#"},
+        ],
+    })
+    return out.orderBy("subj", "pred", "obj")
+
+
+_R2RML_MAP_ORACLE = """
+WITH c AS (
+  SELECT 'http://kg.test/customer/' || c_custkey AS s, *
+  FROM customer
+)
+SELECT DISTINCT subj, pred, obj, obj_is_uri, obj_lang, obj_datatype
+FROM (
+  SELECT s AS subj,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         'http://kg.test/Customer' AS obj, TRUE AS obj_is_uri,
+         CAST(NULL AS VARCHAR) AS obj_lang,
+         CAST(NULL AS VARCHAR) AS obj_datatype
+  FROM c
+  UNION ALL
+  SELECT s, 'http://kg.test/ontology#name', c_name, FALSE, NULL, NULL
+  FROM c
+  UNION ALL
+  SELECT s, 'http://kg.test/ontology#nationRef',
+         'http://kg.test/nation/' || c_nationkey, TRUE, NULL, NULL
+  FROM c
+  UNION ALL
+  SELECT s, 'http://kg.test/ontology#segment', c_mktsegment,
+         FALSE, NULL, NULL
+  FROM c
+  UNION ALL
+  SELECT s, 'http://kg.test/ontology#custkey',
+         CAST(c_custkey AS VARCHAR), FALSE, NULL,
+         'http://www.w3.org/2001/XMLSchema#integer'
+  FROM c
+  UNION ALL
+  SELECT s, 'http://kg.test/ontology#nameToken',
+         unnest(string_split(c_name, '#')), FALSE, NULL, NULL
+  FROM c
+)
+ORDER BY subj, pred, obj
+"""
+
+
 def _rdfs_test_schema(spark):
     """The 10-triple EBU-Core-shaped test ontology shared by
     q_rdfs_entail and q_rdfs_incremental (class chain
@@ -1567,6 +1678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_filter_union": q_bgp_filter_union,
         "quad_graphs": q_quad_graphs,
         "path_match": q_path_match,
+        "sparql_minus": q_sparql_minus,
+        "r2rml_map": q_r2rml_map,
         "scan_filter_project": scan_filter_project,
         "agg_partial": agg_partial,
         "broadcast_dim_join": broadcast_dim_join,
@@ -1733,6 +1846,8 @@ def oracle_sql() -> dict[str, str]:
         "bgp_filter_union": _BGP_FILTER_UNION_ORACLE,
         "quad_graphs": _QUAD_GRAPHS_ORACLE,
         "path_match": _PATH_MATCH_ORACLE,
+        "sparql_minus": _SPARQL_MINUS_ORACLE,
+        "r2rml_map": _R2RML_MAP_ORACLE,
         "scan_filter_project": """
             SELECT l_orderkey, l_linenumber,
                    upper(trim(l_returnflag)) AS flag,

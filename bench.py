@@ -137,6 +137,8 @@ HEADLINE = [
     "bgp_filter_union",
     "quad_graphs",
     "path_match",
+    "sparql_minus",
+    "r2rml_map",
 ]
 
 

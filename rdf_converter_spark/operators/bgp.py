@@ -81,6 +81,7 @@ def bgp_match(
     patterns: Sequence[Tuple[str, str, str]],
     optional: Sequence[Sequence[Tuple[str, str, str]]] = (),
     filters: Sequence[str] = (),
+    minus: Sequence[Sequence[Tuple[str, str, str]]] = (),
     _positions: Sequence[str] = _POS,
 ) -> DataFrame:
     """Match a basic graph pattern against ``triples``.
@@ -96,6 +97,21 @@ def bgp_match(
     the shared variables (SPARQL ``OPTIONAL { ... }``): new variables
     bind where the group matches and stay null where it doesn't,
     without discarding the required row.
+
+    ``minus`` takes SPARQL ``MINUS`` groups — each matched as its own
+    sub-BGP and LEFT-ANTI-joined on the shared variables: required
+    solutions compatible with any minus solution are removed. A
+    MINUS group sharing no variable removes nothing per the SPARQL
+    spec (disjoint domains are never compatible), so that case
+    raises here instead of silently keeping everything — same
+    fail-fast stance as the disconnected-pattern check. The anti
+    join is the cheapest SPARQL operator at scale: no new columns,
+    and AQE broadcasts the minus side when its selection is small.
+    Corner divergence, documented: a shared variable left NULL by an
+    unmatched OPTIONAL is treated as incomparable (the row is kept),
+    while the spec's domain-restricted compatibility would test only
+    the bound variables — avoid mixing OPTIONAL-bound variables into
+    MINUS keys.
 
     ``filters`` takes SPARQL ``FILTER`` expressions as Spark SQL
     boolean strings over the variable columns (e.g.
@@ -150,6 +166,18 @@ def bgp_match(
             )
         bound = bound.join(rel, on=shared, how="left")
         bound_vars |= set(rel.columns)
+    for group in minus:
+        rel = bgp_match(triples, group, _positions=_positions)
+        shared = sorted(bound_vars & set(rel.columns))
+        if not shared:
+            raise ValueError(
+                "MINUS group %r shares no variable with the required "
+                "pattern %r — per SPARQL semantics it would remove "
+                "nothing; drop it or share a variable"
+                % (list(group), sorted(bound_vars))
+            )
+        bound = bound.join(
+            rel.select(*shared), on=shared, how="left_anti")
     for expr in filters:
         # SPARQL-style ?var tokens are validated against the bound
         # set and rewritten to column references; plain identifiers

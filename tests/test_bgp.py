@@ -271,6 +271,33 @@ def test_construct_single_bgp_evaluation(triples):
     assert "Cartesian" not in plan
 
 
+def test_minus_removes_compatible_solutions(triples):
+    # persons MINUS those knowing someone typed Place
+    out = bgp_match(
+        triples,
+        [("?s", "type", "Person")],
+        minus=[[("?s", "knows", "?o"), ("?o", "type", "Place")]],
+    )
+    assert [r.s for r in out.collect()] == ["a"]
+
+
+def test_minus_no_shared_variable_raises(triples):
+    with pytest.raises(ValueError, match="MINUS"):
+        bgp_match(triples, [("?s", "type", "Person")],
+                  minus=[[("?x", "likes", "?y")]])
+
+
+def test_minus_then_filter_order(triples):
+    out = bgp_match(
+        triples,
+        [("?s", "type", "?t")],
+        minus=[[("?s", "knows", "?z")]],
+        filters=["?t <> 'Place'"],
+    )
+    # a,b know someone -> removed; c is Place -> filtered; x,y untyped
+    assert out.collect() == []
+
+
 QUADS = [
     ("g1", "a", "type", "Person"),
     ("g1", "a", "name", "Alice"),
