@@ -470,6 +470,111 @@ ORDER BY subj, pred, obj
 """
 
 
+def q_shacl_report(spark, sf_dir):
+    """SHACL-lite validation (operators/shacl.py) of the constructed
+    KG: customer shape (segment sh:in, phone sh:minCount — fires for
+    every customer, nation sh:maxCount+sh:nodeKind — never fires) and
+    order shape (status sh:in, date sh:datatype — the KG tags dates
+    xsd:date so requiring xsd:dateTime flags every order, by
+    sh:minCount — never fires). Cardinalities are one hash aggregate
+    per path; value checks are row filters; oracle rebuilds the
+    report constraint-by-constraint in SQL."""
+    from rdf_converter_spark.operators.shacl import shacl_report
+
+    base = "http://kg.test/"
+    o = base + "ontology#"
+    xsd = "http://www.w3.org/2001/XMLSchema#"
+    kg = _kg_tpch_unordered(spark, sf_dir)
+    rep = shacl_report(kg, [
+        {
+            "shape": "CustomerShape",
+            "target_class": base + "Customer",
+            "property": [
+                {"path": o + "segment",
+                 "in": ["AUTOMOBILE", "BUILDING"]},
+                {"path": o + "phone", "min_count": 1},
+                {"path": o + "nation", "max_count": 1,
+                 "node_kind": "IRI"},
+            ],
+        },
+        {
+            "shape": "OrderShape",
+            "target_class": base + "Order",
+            "property": [
+                {"path": o + "status", "in": ["F"]},
+                {"path": o + "date", "datatype": xsd + "dateTime"},
+                {"path": o + "by", "min_count": 1},
+            ],
+        },
+    ], type_pred=o + "type")
+    return rep.orderBy("focus", "path", "constraint", "value")
+
+
+_SHACL_REPORT_ORACLE = """
+WITH kg AS (%s), cust AS (
+  SELECT DISTINCT subj FROM kg
+  WHERE pred = 'http://kg.test/ontology#type'
+    AND obj = 'http://kg.test/Customer'
+), ord AS (
+  SELECT DISTINCT subj FROM kg
+  WHERE pred = 'http://kg.test/ontology#type'
+    AND obj = 'http://kg.test/Order'
+)
+SELECT focus, shape, path, "constraint", value FROM (
+  SELECT k.subj AS focus, 'CustomerShape' AS shape,
+         'http://kg.test/ontology#segment' AS path,
+         'in' AS "constraint", k.obj AS value
+  FROM kg k JOIN cust c ON k.subj = c.subj
+  WHERE k.pred = 'http://kg.test/ontology#segment'
+    AND k.obj NOT IN ('AUTOMOBILE', 'BUILDING')
+  UNION ALL
+  SELECT c.subj, 'CustomerShape', 'http://kg.test/ontology#phone',
+         'minCount', CAST(coalesce(p.n, 0) AS VARCHAR)
+  FROM cust c LEFT JOIN (
+    SELECT subj, count(*) AS n FROM kg
+    WHERE pred = 'http://kg.test/ontology#phone' GROUP BY subj
+  ) p ON p.subj = c.subj
+  WHERE coalesce(p.n, 0) < 1
+  UNION ALL
+  SELECT g.subj, 'CustomerShape', 'http://kg.test/ontology#nation',
+         'maxCount', CAST(g.n AS VARCHAR)
+  FROM (
+    SELECT k.subj, count(*) AS n
+    FROM kg k JOIN cust c ON k.subj = c.subj
+    WHERE k.pred = 'http://kg.test/ontology#nation' GROUP BY k.subj
+  ) g WHERE g.n > 1
+  UNION ALL
+  SELECT k.subj, 'CustomerShape', 'http://kg.test/ontology#nation',
+         'nodeKind', k.obj
+  FROM kg k JOIN cust c ON k.subj = c.subj
+  WHERE k.pred = 'http://kg.test/ontology#nation'
+    AND k.obj_is_uri <> TRUE
+  UNION ALL
+  SELECT k.subj, 'OrderShape', 'http://kg.test/ontology#status',
+         'in', k.obj
+  FROM kg k JOIN ord d ON k.subj = d.subj
+  WHERE k.pred = 'http://kg.test/ontology#status'
+    AND k.obj NOT IN ('F')
+  UNION ALL
+  SELECT k.subj, 'OrderShape', 'http://kg.test/ontology#date',
+         'datatype', k.obj
+  FROM kg k JOIN ord d ON k.subj = d.subj
+  WHERE k.pred = 'http://kg.test/ontology#date'
+    AND k.obj_datatype IS DISTINCT FROM
+        'http://www.w3.org/2001/XMLSchema#dateTime'
+  UNION ALL
+  SELECT d.subj, 'OrderShape', 'http://kg.test/ontology#by',
+         'minCount', CAST(coalesce(p.n, 0) AS VARCHAR)
+  FROM ord d LEFT JOIN (
+    SELECT subj, count(*) AS n FROM kg
+    WHERE pred = 'http://kg.test/ontology#by' GROUP BY subj
+  ) p ON p.subj = d.subj
+  WHERE coalesce(p.n, 0) < 1
+)
+ORDER BY focus, path, "constraint", value
+""" % _KG_TPCH_ORACLE
+
+
 def _rdfs_test_schema(spark):
     """The 10-triple EBU-Core-shaped test ontology shared by
     q_rdfs_entail and q_rdfs_incremental (class chain
@@ -1680,6 +1785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_match": q_path_match,
         "sparql_minus": q_sparql_minus,
         "r2rml_map": q_r2rml_map,
+        "shacl_report": q_shacl_report,
         "scan_filter_project": scan_filter_project,
         "agg_partial": agg_partial,
         "broadcast_dim_join": broadcast_dim_join,
@@ -1848,6 +1954,7 @@ def oracle_sql() -> dict[str, str]:
         "path_match": _PATH_MATCH_ORACLE,
         "sparql_minus": _SPARQL_MINUS_ORACLE,
         "r2rml_map": _R2RML_MAP_ORACLE,
+        "shacl_report": _SHACL_REPORT_ORACLE,
         "scan_filter_project": """
             SELECT l_orderkey, l_linenumber,
                    upper(trim(l_returnflag)) AS flag,

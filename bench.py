@@ -139,6 +139,7 @@ HEADLINE = [
     "path_match",
     "sparql_minus",
     "r2rml_map",
+    "shacl_report",
 ]
 
 
