@@ -575,6 +575,83 @@ ORDER BY focus, path, "constraint", value
 """ % _KG_TPCH_ORACLE
 
 
+def q_nt_parse(spark, sf_dir):
+    """Distributed N-Triples round trip (sources/rdf.py +
+    operators/export.py:nt_line): three NT statements per document —
+    an escape-heavy literal (embedded newline, quotes, tab,
+    backslash), an IRI object, and a language-tagged literal — are
+    FORMATTED in-plan by the writer's expression and PARSED BACK by
+    the reader; the DuckDB oracle predicts the parsed result
+    arithmetically from the documents table with zero NT code, so a
+    bug in either escape or unescape breaks the hash (png_pipeline
+    oracle style)."""
+    from rdf_converter_spark.operators.export import nt_line
+    from rdf_converter_spark.sources.rdf import parse_ntriples
+
+    base = "http://kg.test/"
+    o = base + "ontology#"
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit("L1:"), F.substring("text", 1, 40),
+        F.lit('\n"'), F.col("lang"), F.lit('"\t\\end'),
+    )
+    uri = F.concat(F.lit(base + "doc/"), F.col("doc_id"))
+    t6 = docs.select(
+        F.explode(F.array(
+            F.struct(
+                uri.alias("subj"), F.lit(o + "text").alias("pred"),
+                payload.alias("obj"), F.lit(False).alias("obj_is_uri"),
+                F.lit(None).cast("string").alias("obj_lang"),
+                F.lit(None).cast("string").alias("obj_datatype"),
+            ),
+            F.struct(
+                uri.alias("subj"), F.lit(o + "source").alias("pred"),
+                F.concat(F.lit(base + "source/"),
+                         F.col("doc_id") % 7).alias("obj"),
+                F.lit(True).alias("obj_is_uri"),
+                F.lit(None).cast("string").alias("obj_lang"),
+                F.lit(None).cast("string").alias("obj_datatype"),
+            ),
+            F.struct(
+                uri.alias("subj"), F.lit(o + "langTok").alias("pred"),
+                F.substring("text", 1, 10).alias("obj"),
+                F.lit(False).alias("obj_is_uri"),
+                F.col("lang").alias("obj_lang"),
+                F.lit(None).cast("string").alias("obj_datatype"),
+            ),
+        )).alias("t")
+    ).select("t.*")
+    lines = t6.select(nt_line().alias("value"))
+    parsed = parse_ntriples(lines)
+    return parsed.orderBy("subj", "pred", "obj")
+
+
+_NT_PARSE_ORACLE = """
+WITH d AS (SELECT * FROM documents)
+SELECT subj, pred, obj, obj_is_uri, obj_lang, obj_datatype FROM (
+  SELECT 'http://kg.test/doc/' || doc_id AS subj,
+         'http://kg.test/ontology#text' AS pred,
+         'L1:' || substring(text, 1, 40) || chr(10) || '"' || lang
+           || '"' || chr(9) || '\\end' AS obj,
+         FALSE AS obj_is_uri,
+         CAST(NULL AS VARCHAR) AS obj_lang,
+         CAST(NULL AS VARCHAR) AS obj_datatype
+  FROM d
+  UNION ALL
+  SELECT 'http://kg.test/doc/' || doc_id,
+         'http://kg.test/ontology#source',
+         'http://kg.test/source/' || (doc_id % 7), TRUE, NULL, NULL
+  FROM d
+  UNION ALL
+  SELECT 'http://kg.test/doc/' || doc_id,
+         'http://kg.test/ontology#langTok',
+         substring(text, 1, 10), FALSE, lang, NULL
+  FROM d
+)
+ORDER BY subj, pred, obj
+"""
+
+
 def _rdfs_test_schema(spark):
     """The 10-triple EBU-Core-shaped test ontology shared by
     q_rdfs_entail and q_rdfs_incremental (class chain
@@ -1786,6 +1863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_minus": q_sparql_minus,
         "r2rml_map": q_r2rml_map,
         "shacl_report": q_shacl_report,
+        "nt_parse": q_nt_parse,
         "scan_filter_project": scan_filter_project,
         "agg_partial": agg_partial,
         "broadcast_dim_join": broadcast_dim_join,
@@ -1955,6 +2033,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_minus": _SPARQL_MINUS_ORACLE,
         "r2rml_map": _R2RML_MAP_ORACLE,
         "shacl_report": _SHACL_REPORT_ORACLE,
+        "nt_parse": _NT_PARSE_ORACLE,
         "scan_filter_project": """
             SELECT l_orderkey, l_linenumber,
                    upper(trim(l_returnflag)) AS flag,

@@ -140,6 +140,7 @@ HEADLINE = [
     "sparql_minus",
     "r2rml_map",
     "shacl_report",
+    "nt_parse",
 ]
 
 

@@ -158,47 +158,58 @@ def to_turtle_pretty(triples: DataFrame, path: str,
     return len(rows)
 
 
+def nt_escape(col):
+    """JVM-side N-Triples literal escape — same escape set as
+    ``format_triple``/``_escape``: backslash FIRST, then quote and
+    the control chars (a PA note with a newline must not break the
+    N-Triples line on the scale path). Escaping (unlike UNescaping,
+    see ``sources/rdf.py``) is safe as a sequential replace chain
+    because each step's output characters are never another step's
+    input pattern once backslash goes first."""
+    from pyspark.sql import functions as F
+
+    return F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(
+                    F.regexp_replace(col, r"\\", r"\\\\"),
+                    '"', '\\\\"'
+                ),
+                "\n", r"\\n"
+            ),
+            "\r", r"\\r"
+        ),
+        "\t", r"\\t"
+    )
+
+
+def nt_line(subj="subj", pred="pred", obj="obj", obj_is_uri="obj_is_uri",
+            obj_lang="obj_lang", obj_datatype="obj_datatype"):
+    """One N-Triples statement as a JVM string expression over the
+    6-column triple schema (shared by the distributed writer and any
+    query that needs to materialize NT lines in-plan)."""
+    from pyspark.sql import functions as F
+
+    return F.concat(
+        F.lit("<"), subj, F.lit("> <"), pred, F.lit("> "),
+        F.when(F.col(obj_is_uri),
+               F.concat(F.lit("<"), obj, F.lit(">")))
+        .otherwise(
+            F.concat(
+                F.lit('"'), nt_escape(obj), F.lit('"'),
+                F.when(F.col(obj_lang).isNotNull(),
+                       F.concat(F.lit("@"), obj_lang))
+                .when(F.col(obj_datatype).isNotNull(),
+                      F.concat(F.lit("^^<"), obj_datatype, F.lit(">")))
+                .otherwise(F.lit("")),
+            )
+        ),
+        F.lit(" ."),
+    )
+
+
 def to_turtle_distributed(triples: DataFrame, path: str) -> None:
     """Scale path: one sorted text part per partition (for handoff to
     tools that stream N-Triples); no driver materialization."""
-    from pyspark.sql import functions as F
-
-    lines = triples.select(
-        F.concat(
-            F.lit("<"), "subj", F.lit("> <"), "pred", F.lit("> "),
-            F.when(F.col("obj_is_uri"),
-                   F.concat(F.lit("<"), "obj", F.lit(">")))
-            .otherwise(
-                F.concat(
-                    F.lit('"'),
-                    # same escape set as format_triple/_escape —
-                    # backslash FIRST, then quote and the control
-                    # chars (a PA note with a newline must not break
-                    # the N-Triples line on the scale path)
-                    F.regexp_replace(
-                        F.regexp_replace(
-                            F.regexp_replace(
-                                F.regexp_replace(
-                                    F.regexp_replace(
-                                        "obj", r"\\", r"\\\\"
-                                    ),
-                                    '"', '\\\\"'
-                                ),
-                                "\n", r"\\n"
-                            ),
-                            "\r", r"\\r"
-                        ),
-                        "\t", r"\\t"
-                    ),
-                    F.lit('"'),
-                    F.when(F.col("obj_lang").isNotNull(),
-                           F.concat(F.lit("@"), "obj_lang"))
-                    .when(F.col("obj_datatype").isNotNull(),
-                          F.concat(F.lit("^^<"), "obj_datatype", F.lit(">")))
-                    .otherwise(F.lit("")),
-                )
-            ),
-            F.lit(" ."),
-        ).alias("value")
-    )
+    lines = triples.select(nt_line().alias("value"))
     lines.sortWithinPartitions("value").write.mode("overwrite").text(path)

@@ -1,0 +1,106 @@
+# -*- coding: utf-8 -*-
+"""Distributed N-Triples source (sources/rdf.py): unescape kernel,
+line parsing, and the write->read round trip against
+operators/export.py's distributed N-Triples writer.
+"""
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_converter_spark.sources.rdf import (
+    parse_ntriples, read_ntriples, unescape_literal,
+)
+
+SCHEMA = ("subj string, pred string, obj string, obj_is_uri boolean, "
+          "obj_lang string, obj_datatype string")
+
+
+def _lines(spark, rows):
+    return spark.createDataFrame([(r,) for r in rows], "value string")
+
+
+def test_unescape_scalar():
+    assert unescape_literal(r"a\nb") == "a\nb"
+    assert unescape_literal(r"a\\n") == "a\\n"          # NOT a newline
+    assert unescape_literal(r"\"q\"") == '"q"'
+    assert unescape_literal(r"\u00e9t\u00e9") == "été"
+    assert unescape_literal(r"\U0001F600") == "\U0001F600"
+    assert unescape_literal(r"\t\r\b\f") == "\t\r\b\f"
+    with pytest.raises(ValueError, match="invalid"):
+        unescape_literal(r"\x41")
+
+
+def test_parse_basic_forms(spark):
+    df = parse_ntriples(_lines(spark, [
+        "<http://x/s> <http://x/p> <http://x/o> .",
+        '<http://x/s> <http://x/p> "plain" .',
+        '<http://x/s> <http://x/p> "salut"@fr .',
+        '<http://x/s> <http://x/p> "2020-01-01"'
+        "^^<http://www.w3.org/2001/XMLSchema#date> .",
+        "",
+        "# a comment",
+        "   # indented comment",
+    ]))
+    rows = {(r.obj, r.obj_is_uri, r.obj_lang, r.obj_datatype)
+            for r in df.collect()}
+    assert rows == {
+        ("http://x/o", True, None, None),
+        ("plain", False, None, None),
+        ("salut", False, "fr", None),
+        ("2020-01-01", False, None,
+         "http://www.w3.org/2001/XMLSchema#date"),
+    }
+
+
+def test_parse_escaped_literals(spark):
+    df = parse_ntriples(_lines(spark, [
+        r'<http://x/s> <http://x/p> "line1\nline2\t\"q\" c:\\d" .',
+        r'<http://x/s> <http://x/p2> "caf\u00e9" .',
+    ]))
+    got = {r.pred.rsplit("/", 1)[1]: r.obj for r in df.collect()}
+    assert got["p"] == 'line1\nline2\t"q" c:\\d'
+    assert got["p2"] == "café"
+
+
+def test_malformed_raise_vs_drop(spark):
+    bad = _lines(spark, [
+        "<http://x/s> <http://x/p> <http://x/o> .",
+        "this is not a triple",
+        '<http://x/s> <http://x/p> "unterminated .',
+    ])
+    with pytest.raises(Exception, match="malformed N-Triples"):
+        parse_ntriples(bad).collect()
+    ok = parse_ntriples(bad, on_error="drop")
+    assert ok.count() == 1
+    with pytest.raises(ValueError, match="on_error"):
+        parse_ntriples(bad, on_error="ignore")
+
+
+def test_roundtrip_with_distributed_writer(spark, tmp_path):
+    from rdf_converter_spark.operators.export import to_turtle_distributed
+
+    rows = [
+        ("http://x/a", "http://x/p", "plain", False, None, None),
+        ("http://x/a", "http://x/p", "with\nnewline\tand\ttabs",
+         False, None, None),
+        ("http://x/a", "http://x/p", 'quote " and \\ backslash',
+         False, None, None),
+        ("http://x/a", "http://x/q", "http://x/b", True, None, None),
+        ("http://x/a", "http://x/r", "bonjour", False, "fr", None),
+        ("http://x/a", "http://x/s", "42", False, None,
+         "http://www.w3.org/2001/XMLSchema#integer"),
+    ]
+    src = spark.createDataFrame(rows, SCHEMA)
+    out = str(tmp_path / "nt")
+    to_turtle_distributed(src, out)
+    back = read_ntriples(spark, out)
+    assert {tuple(r) for r in back.collect()} == set(rows)
+
+
+def test_parse_is_jvm_side_except_escape_kernel(spark):
+    df = parse_ntriples(_lines(spark, [
+        "<http://x/s> <http://x/p> <http://x/o> .",
+    ]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # no row-at-a-time Python anywhere; the only Python is the Arrow
+    # escape kernel, gated behind a contains-backslash branch
+    assert "BatchEvalPython" not in plan
