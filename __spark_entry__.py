@@ -652,6 +652,213 @@ ORDER BY subj, pred, obj
 """
 
 
+def q_sparql_aggregate(spark, sf_dir):
+    """SPARQL GROUP BY + HAVING (operators/bgp.py:bgp_aggregate):
+    orders-per-customer over the order BGP — the two-pattern join
+    tree feeds ONE hash aggregate keyed on the customer variable,
+    HAVING prunes the (tiny) grouped side; the oracle runs the same
+    self-join + GROUP BY over the identical triple CTE."""
+    from rdf_converter_spark.operators.bgp import bgp_aggregate
+
+    o = "http://kg.test/ontology#"
+    kg = _kg_tpch_unordered(spark, sf_dir)
+    out = bgp_aggregate(
+        kg,
+        [("?ord", o + "by", "?c"), ("?ord", o + "date", "?d")],
+        group_by=["?c"],
+        aggregates={"n_orders": "COUNT(*)", "last_date": "MAX(?d)"},
+        having="?n_orders >= 10",
+    )
+    return out.select(
+        F.col("c").alias("cust"), "n_orders", "last_date"
+    ).orderBy("cust")
+
+
+_SPARQL_AGGREGATE_ORACLE = """
+WITH kg AS (%s)
+SELECT t1.obj AS cust, count(*) AS n_orders, max(t2.obj) AS last_date
+FROM kg t1
+JOIN kg t2 ON t2.subj = t1.subj
+          AND t2.pred = 'http://kg.test/ontology#date'
+WHERE t1.pred = 'http://kg.test/ontology#by'
+GROUP BY 1 HAVING count(*) >= 10
+ORDER BY 1
+""" % _KG_TPCH_ORACLE
+
+
+def q_sparql_values_page(spark, sf_dir):
+    """SPARQL VALUES inline data + solution modifiers
+    (bgp_match(values=...) + solution_modifiers): segment constrained
+    by a broadcast VALUES block, then ORDER BY ?nm LIMIT 50 OFFSET 10
+    — compiles to TakeOrderedAndProject (per-partition top-k, no
+    global sort; the unit tests pin the plan shape)."""
+    from rdf_converter_spark.operators.bgp import (
+        bgp_match, solution_modifiers,
+    )
+
+    base = "http://kg.test/"
+    o = base + "ontology#"
+    kg = _kg_tpch_unordered(spark, sf_dir)
+    sol = bgp_match(
+        kg,
+        [("?c", o + "type", base + "Customer"),
+         ("?c", o + "segment", "?seg"),
+         ("?c", o + "name", "?nm")],
+        values=[{"seg": "BUILDING"}, {"seg": "MACHINERY"}],
+    )
+    out = solution_modifiers(sol, order_by=["?nm"], limit=50, offset=10)
+    return out.select(
+        F.col("c").alias("cust"), F.col("nm").alias("name"),
+        F.col("seg").alias("segment"),
+    ).orderBy("name")
+
+
+_SPARQL_VALUES_PAGE_ORACLE = """
+WITH kg AS (%s)
+SELECT t1.subj AS cust, t3.obj AS name, t2.obj AS segment
+FROM kg t1
+JOIN kg t2 ON t2.subj = t1.subj
+          AND t2.pred = 'http://kg.test/ontology#segment'
+          AND t2.obj IN ('BUILDING', 'MACHINERY')
+JOIN kg t3 ON t3.subj = t1.subj
+          AND t3.pred = 'http://kg.test/ontology#name'
+WHERE t1.pred = 'http://kg.test/ontology#type'
+  AND t1.obj = 'http://kg.test/Customer'
+ORDER BY name LIMIT 50 OFFSET 10
+""" % _KG_TPCH_ORACLE
+
+
+def q_sparql_describe(spark, sf_dir):
+    """SPARQL DESCRIBE (operators/bgp.py:describe): the concise
+    bounded description of every EUROPE nation — outgoing triples
+    plus (incoming=True) the customer->nation links pointing at the
+    focus set; the focus projection is broadcast-semi-joined against
+    the triple table, which is never exchanged."""
+    from rdf_converter_spark.operators.bgp import describe
+
+    o = "http://kg.test/ontology#"
+    kg = _kg_tpch_unordered(spark, sf_dir).select(
+        "subj", "pred", "obj", "obj_is_uri", "obj_lang", "obj_datatype")
+    out = describe(kg, [("?n", o + "region", "EUROPE")], "?n",
+                   incoming=True)
+    return out.orderBy("subj", "pred", "obj")
+
+
+_SPARQL_DESCRIBE_ORACLE = """
+WITH kg AS (%s), focus AS (
+  SELECT DISTINCT subj FROM kg
+  WHERE pred = 'http://kg.test/ontology#region' AND obj = 'EUROPE'
+)
+SELECT subj, pred, obj, obj_is_uri, obj_lang, obj_datatype FROM (
+  SELECT k.* FROM kg k JOIN focus f ON k.subj = f.subj
+  UNION
+  SELECT k.* FROM kg k JOIN focus f ON k.obj = f.subj AND k.obj_is_uri
+)
+ORDER BY subj, pred, obj
+""" % _KG_TPCH_ORACLE
+
+
+def q_sameas_smush(spark, sf_dir):
+    """owl:sameAs smushing (operators/owl.py:sameas_smush): each
+    customer gets two alternate-source URIs linked by a sameAs CHAIN
+    (yle -> ina -> canonical, so single-hop rewriting would fail);
+    star-contraction closes the chains and the graph is rewritten
+    onto the canonical (minimum) URI. The oracle never runs a
+    closure: the fixture's canonical is the base customer URI by
+    construction ('customer/' sorts before 'ina/' and 'yle/'), so it
+    predicts the smushed graph directly from the customer table."""
+    from rdf_converter_spark.operators.owl import OWL_SAMEAS, sameas_smush
+
+    base = "http://kg.test/"
+    o = base + "ontology#"
+    kg = _kg_tpch_unordered(spark, sf_dir).select(
+        "subj", "pred", "obj", "obj_is_uri", "obj_lang", "obj_datatype")
+    customer = _t(spark, sf_dir, "customer")
+    base_uri = F.concat(F.lit(base + "customer/"), F.md5(F.col("c_name")))
+    alt1 = F.concat(F.lit(base + "ina/customer/"),
+                    F.col("c_custkey").cast("string"))
+    alt2 = F.concat(F.lit(base + "yle/customer/"),
+                    F.col("c_custkey").cast("string"))
+
+    def t6(s, p, ob, uri):
+        return F.struct(
+            s.alias("subj"), F.lit(p).alias("pred"), ob.alias("obj"),
+            F.lit(uri).alias("obj_is_uri"),
+            F.lit(None).cast("string").alias("obj_lang"),
+            F.lit(None).cast("string").alias("obj_datatype"),
+        )
+
+    extra = customer.select(F.explode(F.array(
+        t6(alt1, OWL_SAMEAS, base_uri, True),
+        t6(alt2, OWL_SAMEAS, alt1, True),
+        t6(alt1, o + "source", F.lit("ina"), False),
+        t6(alt2, o + "source", F.lit("yle"), False),
+    )).alias("t")).select("t.*")
+    smushed = sameas_smush(kg.unionByName(extra))
+    return (
+        smushed.filter(F.col("pred").isin(o + "source", o + "name"))
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred", "obj")
+    )
+
+
+_SAMEAS_SMUSH_ORACLE = """
+WITH cust AS (
+  SELECT 'http://kg.test/customer/' || md5(c_name) AS u, c_name
+  FROM customer
+)
+SELECT subj, pred, obj FROM (
+  SELECT u AS subj, 'http://kg.test/ontology#source' AS pred,
+         'ina' AS obj FROM cust
+  UNION ALL
+  SELECT u, 'http://kg.test/ontology#source', 'yle' FROM cust
+  UNION ALL
+  SELECT u, 'http://kg.test/ontology#name', c_name FROM cust
+)
+ORDER BY subj, pred, obj
+"""
+
+
+def q_void_stats(spark, sf_dir):
+    """VoID dataset description (operators/void.py:void_stats):
+    dataset totals + per-predicate property partitions in one
+    pred-keyed hash aggregate pass, class partitions via the
+    instance-map join — the statistics a SPARQL optimizer reads for
+    join ordering. Exact distincts here (oracle parity); approx=True
+    is the 10^12-triple path."""
+    from rdf_converter_spark.operators.void import void_stats
+
+    base = "http://kg.test/"
+    kg = _kg_tpch_unordered(spark, sf_dir).select("subj", "pred", "obj")
+    out = void_stats(kg, type_pred=base + "ontology#type")
+    return out.orderBy("section", "key")
+
+
+_VOID_STATS_ORACLE = """
+WITH kg AS (%s)
+SELECT section, "key", triples, distinct_subjects, distinct_objects FROM (
+  SELECT 'dataset' AS section, '(all)' AS "key", count(*) AS triples,
+         count(DISTINCT subj) AS distinct_subjects,
+         count(DISTINCT obj) AS distinct_objects
+  FROM kg
+  UNION ALL
+  SELECT 'property', pred, count(*),
+         count(DISTINCT subj), count(DISTINCT obj)
+  FROM kg GROUP BY pred
+  UNION ALL
+  SELECT 'class', i.cls, count(*),
+         count(DISTINCT t.subj), count(DISTINCT t.obj)
+  FROM kg t
+  JOIN (
+    SELECT DISTINCT subj, obj AS cls FROM kg
+    WHERE pred = 'http://kg.test/ontology#type'
+  ) i ON t.subj = i.subj
+  GROUP BY i.cls
+)
+ORDER BY section, "key"
+""" % _KG_TPCH_ORACLE
+
+
 def _rdfs_test_schema(spark):
     """The 10-triple EBU-Core-shaped test ontology shared by
     q_rdfs_entail and q_rdfs_incremental (class chain
@@ -1864,6 +2071,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r2rml_map": q_r2rml_map,
         "shacl_report": q_shacl_report,
         "nt_parse": q_nt_parse,
+        "sparql_aggregate": q_sparql_aggregate,
+        "sparql_values_page": q_sparql_values_page,
+        "sparql_describe": q_sparql_describe,
+        "sameas_smush": q_sameas_smush,
+        "void_stats": q_void_stats,
         "scan_filter_project": scan_filter_project,
         "agg_partial": agg_partial,
         "broadcast_dim_join": broadcast_dim_join,
@@ -2034,6 +2246,11 @@ def oracle_sql() -> dict[str, str]:
         "r2rml_map": _R2RML_MAP_ORACLE,
         "shacl_report": _SHACL_REPORT_ORACLE,
         "nt_parse": _NT_PARSE_ORACLE,
+        "sparql_aggregate": _SPARQL_AGGREGATE_ORACLE,
+        "sparql_values_page": _SPARQL_VALUES_PAGE_ORACLE,
+        "sparql_describe": _SPARQL_DESCRIBE_ORACLE,
+        "sameas_smush": _SAMEAS_SMUSH_ORACLE,
+        "void_stats": _VOID_STATS_ORACLE,
         "scan_filter_project": """
             SELECT l_orderkey, l_linenumber,
                    upper(trim(l_returnflag)) AS flag,

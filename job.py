@@ -31,6 +31,14 @@ def main(argv=None):
                          "canonical triple table + entity map")
     ap.add_argument("--mappings-dir", default=None,
                     help="controlled-vocabulary JSON directory")
+    ap.add_argument("--entail", action="store_true",
+                    help="materialize the RDFS closure (rho-df rules "
+                         "over the schema triples already present in "
+                         "the graph) into <work>/triples_entailed")
+    ap.add_argument("--validate", default=None, metavar="SHAPES_JSON",
+                    help="SHACL-lite shapes file (JSON list of shape "
+                         "dicts, see operators/shacl.py); writes the "
+                         "violation report to <work>/shacl_report")
     ap.add_argument("--format", default="parquet",
                     choices=["parquet", "iceberg"],
                     help="stage checkpoint format: iceberg = snapshot "
@@ -83,6 +91,29 @@ def main(argv=None):
         )
         print("CANONICAL_TRIPLES=%d" % spark.read.parquet(
             os.path.join(args.work, "triples_canonical")).count())
+
+    if args.entail:
+        from rdf_converter_spark.operators.rdfs import rdfs_entail
+
+        entailed = rdfs_entail(
+            out["triples"].select("subj", "pred", "obj", "obj_is_uri"),
+            uri_flag="obj_is_uri",
+        )
+        dst = os.path.join(args.work, "triples_entailed")
+        entailed.write.mode("overwrite").parquet(dst)
+        print("ENTAILED_TRIPLES=%d" % spark.read.parquet(dst).count())
+
+    if args.validate:
+        import json
+
+        from rdf_converter_spark.operators.shacl import shacl_report
+
+        with open(args.validate, "r") as fh:
+            shapes = json.load(fh)
+        report = shacl_report(out["triples"], shapes)
+        dst = os.path.join(args.work, "shacl_report")
+        report.write.mode("overwrite").parquet(dst)
+        print("SHACL_VIOLATIONS=%d" % spark.read.parquet(dst).count())
 
     spark.stop()
     return 0

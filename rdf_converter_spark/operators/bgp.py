@@ -82,6 +82,7 @@ def bgp_match(
     optional: Sequence[Sequence[Tuple[str, str, str]]] = (),
     filters: Sequence[str] = (),
     minus: Sequence[Sequence[Tuple[str, str, str]]] = (),
+    values: Sequence[dict] = (),
     _positions: Sequence[str] = _POS,
 ) -> DataFrame:
     """Match a basic graph pattern against ``triples``.
@@ -112,6 +113,17 @@ def bgp_match(
     while the spec's domain-restricted compatibility would test only
     the bound variables — avoid mixing OPTIONAL-bound variables into
     MINUS keys.
+
+    ``values`` takes SPARQL ``VALUES`` inline data: a sequence of
+    ``{var: constant}`` dicts (every dict must bind the same
+    variables; ``UNDEF`` is not supported — omit the row or split
+    the block instead). The block is inline query text, so it is
+    bounded and always broadcast: shared variables inner-join the
+    solution (constraining it); a block binding only NEW variables
+    is the spec's cross join, harmless because the broadcast side is
+    literal data. Evaluation order follows the trailing-VALUES form:
+    the block joins the fully assembled group (after OPTIONAL /
+    MINUS), before FILTERs.
 
     ``filters`` takes SPARQL ``FILTER`` expressions as Spark SQL
     boolean strings over the variable columns (e.g.
@@ -178,6 +190,24 @@ def bgp_match(
             )
         bound = bound.join(
             rel.select(*shared), on=shared, how="left_anti")
+    if values:
+        rows = [dict(r) for r in values]
+        vvars = set(rows[0])
+        bad = [r for r in rows if set(r) != vvars or None in r.values()]
+        if not vvars or bad:
+            raise ValueError(
+                "VALUES rows must all bind the same non-null variables "
+                "(UNDEF unsupported): %r" % (bad or rows,))
+        vdf = triples.sparkSession.createDataFrame(
+            [tuple(str(r[v]) for v in sorted(vvars)) for r in rows],
+            ", ".join("`%s` string" % v for v in sorted(vvars)),
+        )
+        shared = sorted(bound_vars & vvars)
+        if shared:
+            bound = bound.join(F.broadcast(vdf), on=shared)
+        else:
+            bound = bound.crossJoin(F.broadcast(vdf))
+        bound_vars |= vvars
     for expr in filters:
         # SPARQL-style ?var tokens are validated against the bound
         # set and rewritten to column references; plain identifiers
@@ -332,3 +362,159 @@ def property_table(
         .groupBy(F.col(key).alias("entity"))
         .agg(*aggs)
     )
+
+
+def solution_modifiers(
+    solutions: DataFrame,
+    distinct: bool = False,
+    order_by: Sequence[str] = (),
+    limit: "int | None" = None,
+    offset: int = 0,
+) -> DataFrame:
+    """SPARQL solution modifiers (DISTINCT / ORDER BY / LIMIT /
+    OFFSET) over a binding relation from :func:`bgp_match`.
+
+    ``order_by`` entries are ``"?var"`` ascending or ``"-?var"``
+    descending (the ``?`` is optional). LIMIT without ORDER BY is
+    allowed (SPARQL permits it; the slice is arbitrary but cheap —
+    Spark's ``GlobalLimit`` short-circuits the scan); OFFSET > 0
+    without ORDER BY raises, because an unordered offset is a
+    nondeterministic row skip that silently changes between runs.
+
+    Scale shape: ORDER BY + LIMIT compiles to ``TakeOrderedAndProject``
+    — a per-partition top-(limit+offset) then a k-row merge on the
+    driver, never a global sort; DISTINCT is one hash exchange.
+    An ORDER BY *without* LIMIT is the one genuinely global-sort
+    query form — it runs (range partitioner) but callers at
+    10^12-row scale should page with LIMIT/OFFSET instead."""
+    out = solutions
+    if distinct:
+        out = out.dropDuplicates()
+    if offset and not order_by:
+        raise ValueError(
+            "OFFSET without ORDER BY skips nondeterministic rows")
+    if order_by:
+        cols = []
+        for o in order_by:
+            desc = o.startswith("-")
+            name = o.lstrip("-").lstrip("?")
+            if name not in out.columns:
+                raise ValueError(
+                    "ORDER BY %r: no such variable (bound: %s)"
+                    % (o, sorted(out.columns)))
+            cols.append(F.col(name).desc() if desc else F.col(name).asc())
+        out = out.orderBy(*cols)
+    if offset:
+        out = out.offset(int(offset))
+    if limit is not None:
+        out = out.limit(int(limit))
+    return out
+
+
+def bgp_aggregate(
+    triples: DataFrame,
+    patterns: Sequence[Tuple[str, str, str]],
+    group_by: Sequence[str],
+    aggregates: "dict[str, str]",
+    having: "str | None" = None,
+    optional: Sequence[Sequence[Tuple[str, str, str]]] = (),
+    filters: Sequence[str] = (),
+    minus: Sequence[Sequence[Tuple[str, str, str]]] = (),
+    values: Sequence[dict] = (),
+) -> DataFrame:
+    """SPARQL GROUP BY + aggregates + HAVING over a BGP.
+
+    ``group_by`` lists grouping variables (``"?v"`` or ``"v"``; empty
+    = implicit single-group aggregation, SPARQL's ``SELECT (COUNT(*)
+    AS ?n) WHERE ...``). ``aggregates`` maps output column name ->
+    aggregate expression over the variables in Spark SQL syntax with
+    SPARQL-style ``?var`` references (``{"n": "COUNT(*)", "names":
+    "COUNT(DISTINCT ?nm)", "last": "MAX(?d)"}``) — COUNT / SUM / MIN
+    / MAX / AVG / SAMPLE (= any_value) / GROUP_CONCAT (=
+    listagg/string_agg via collect_list+concat_ws on the caller's
+    side, or array_join(sort_array(collect_list(?v)), ',') for the
+    deterministic form). ``having`` is a boolean expression over the
+    aggregate OUTPUT names and grouping vars.
+
+    Plan shape: the BGP join tree feeds ONE hash aggregate
+    (partial/final, map-side combine) keyed on the grouping vars;
+    HAVING is a post-aggregation filter on the tiny grouped side.
+    Skewed grouping keys (hub entities) are the AQE skew case, and
+    distinct-aggregates add the standard expand-exchange — both the
+    same physics as any production GROUP BY at 10^12 rows."""
+    if not aggregates:
+        raise ValueError("bgp_aggregate needs at least one aggregate")
+    sols = bgp_match(triples, patterns, optional, filters, minus, values)
+    keys = [g.lstrip("?") for g in group_by]
+    for k in keys:
+        if k not in sols.columns:
+            raise ValueError(
+                "GROUP BY %r: no such variable (bound: %s)"
+                % (k, sorted(sols.columns)))
+    aggs = []
+    for name, expr in aggregates.items():
+        missing = [v for v in _FILTER_VAR.findall(expr)
+                   if v not in sols.columns]
+        if missing:
+            raise ValueError(
+                "aggregate %r references unbound variables %s"
+                % (expr, missing))
+        aggs.append(F.expr(_FILTER_VAR.sub(r"`\1`", expr)).alias(name))
+    grouped = sols.groupBy(*keys).agg(*aggs) if keys else sols.agg(*aggs)
+    if having:
+        grouped = grouped.filter(F.expr(_FILTER_VAR.sub(r"`\1`", having)))
+    return grouped
+
+
+def ask(
+    triples: DataFrame,
+    patterns: Sequence[Tuple[str, str, str]],
+    optional: Sequence[Sequence[Tuple[str, str, str]]] = (),
+    filters: Sequence[str] = (),
+    minus: Sequence[Sequence[Tuple[str, str, str]]] = (),
+    values: Sequence[dict] = (),
+) -> bool:
+    """SPARQL ``ASK``: does the pattern have at least one solution?
+
+    The ``LocalLimit 1`` sits below every exchange, so each task
+    stops at its first hit and the job short-circuits after the
+    first non-empty partition — the cost is one probe, not one full
+    BGP evaluation. (The one-row fetch is a driver action by nature;
+    ASK returns a scalar.)"""
+    sols = bgp_match(triples, patterns, optional, filters, minus, values)
+    return bool(sols.limit(1).take(1))
+
+
+def describe(
+    triples: DataFrame,
+    patterns: Sequence[Tuple[str, str, str]],
+    var: str,
+    incoming: bool = False,
+) -> DataFrame:
+    """SPARQL ``DESCRIBE ?var WHERE { ... }`` — the concise bounded
+    description: every triple whose SUBJECT is a resource bound to
+    ``var`` in some solution (plus, with ``incoming=True``, the
+    triples pointing AT it — the inverse half some stores include).
+
+    Plan shape: the focus set is the distinct projection of one
+    variable (small next to the corpus — DESCRIBE queries describe
+    entities, not the whole graph), semi-joined against the triple
+    table; AQE broadcasts it, so the corpus is filtered in place and
+    never exchanged. Returns the full 6-column triple schema of the
+    input (set semantics)."""
+    v = var.lstrip("?")
+    sols = bgp_match(triples, patterns)
+    if v not in sols.columns:
+        raise ValueError(
+            "DESCRIBE %r: no such variable (bound: %s)"
+            % (var, sorted(sols.columns)))
+    focus = sols.select(F.col(v).alias("subj")).dropDuplicates()
+    out = triples.join(focus, "subj", "left_semi")
+    if incoming:
+        fo = focus.select(F.col("subj").alias("obj"))
+        inc = (
+            triples.filter(F.col("obj_is_uri"))
+            .join(fo, "obj", "left_semi")
+        )
+        out = out.unionByName(inc)
+    return out.dropDuplicates()

@@ -3,6 +3,7 @@
 pipeline tests."""
 
 import glob
+import json
 import os
 import shutil
 import subprocess
@@ -20,6 +21,24 @@ def test_spark_submit_py_files(corpus, tmp_path):
     spark_submit = shutil.which("spark-submit")
     assert spark_submit, "spark-submit not on PATH"
 
+    # shapes file: one conformant shape (every PublicationChannel has
+    # exactly one channel id) and one deliberately violated one
+    # (max_count 0 on the same path) so the report is non-empty and
+    # both outcomes are covered by a single submit.
+    eb = "http://www.ebu.ch/metadata/ontologies/ebucore/ebucore#"
+    shapes = [
+        {"shape": "ChannelShape", "target_class": eb + "PublicationChannel",
+         "property": [{"path": eb + "publicationChannelId",
+                       "min_count": 1, "max_count": 1}]},
+        {"shape": "NoChannelIdShape",
+         "target_class": eb + "PublicationChannel",
+         "property": [{"path": eb + "publicationChannelId",
+                       "max_count": 0}]},
+    ]
+    shapes_path = str(tmp_path / "shapes.json")
+    with open(shapes_path, "w") as fh:
+        json.dump(shapes, fh)
+
     work = str(tmp_path / "work")
     proc = subprocess.run(
         [
@@ -31,14 +50,39 @@ def test_spark_submit_py_files(corpus, tmp_path):
             os.path.join(repo, "job.py"),
             "--input", os.path.join(corpus, "web_pages"),
             "--work", work,
+            "--entail",
+            "--validate", shapes_path,
         ],
         capture_output=True, text=True, timeout=420,
         cwd=str(tmp_path),  # anywhere: package must be self-contained
     )
     assert proc.returncode == 0, proc.stderr[-3000:]
-    line = [l for l in proc.stdout.splitlines() if l.startswith("TRIPLES=")]
-    assert line and int(line[0].split("=")[1]) > 1000, proc.stdout[-2000:]
+
+    def stdout_int(prefix):
+        lines = [l for l in proc.stdout.splitlines()
+                 if l.startswith(prefix + "=")]
+        assert lines, (prefix, proc.stdout[-2000:])
+        return int(lines[0].split("=")[1])
+
+    n_triples = stdout_int("TRIPLES")
+    assert n_triples > 1000
     assert os.path.exists(os.path.join(work, "triples", "_SUCCESS"))
+    n_entailed = stdout_int("ENTAILED_TRIPLES")
+    n_viol = stdout_int("SHACL_VIOLATIONS")
+    assert n_viol > 0
+    import pyspark.sql
+
+    spark = pyspark.sql.SparkSession.getActiveSession()
+    if spark is not None:
+        tr = spark.read.parquet(os.path.join(work, "triples"))
+        # closure is a superset of the (graph-collapsed) input set
+        distinct_spo = tr.select("subj", "pred", "obj").distinct().count()
+        assert n_entailed >= distinct_spo
+        rep = spark.read.parquet(os.path.join(work, "shacl_report"))
+        assert rep.filter(rep.shape == "ChannelShape").count() == 0
+        assert rep.filter(rep.shape == "NoChannelIdShape").count() == n_viol
+    else:
+        assert n_entailed > 1000
 
 
 def test_streaming_incremental(spark, corpus, tmp_path):
