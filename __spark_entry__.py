@@ -859,6 +859,101 @@ ORDER BY section, "key"
 """ % _KG_TPCH_ORACLE
 
 
+def q_sparql_update(spark, sf_dir):
+    """SPARQL UPDATE (operators/bgp.py:update_where): one WHERE
+    evaluation feeds both templates — BUILDING-segment customers lose
+    their segment triple (anti-join) and gain a tier triple (set
+    insert); the oracle expresses the same delete/insert
+    relationally over the triple CTE."""
+    from rdf_converter_spark.operators.bgp import update_where
+
+    base = "http://kg.test/"
+    o = base + "ontology#"
+    kg = _kg_tpch_unordered(spark, sf_dir).select(
+        "subj", "pred", "obj", "obj_is_uri", "obj_lang", "obj_datatype")
+    new = update_where(
+        kg,
+        where=[("?c", o + "type", base + "Customer"),
+               ("?c", o + "segment", "BUILDING")],
+        delete=[("?c", o + "segment", "BUILDING")],
+        insert=[("?c", o + "tier", "EU-BUILDING")],
+    )
+    return (
+        new.filter(F.col("pred").isin(o + "segment", o + "tier"))
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred", "obj")
+    )
+
+
+_SPARQL_UPDATE_ORACLE = """
+WITH kg AS (%s), f AS (
+  SELECT DISTINCT t1.subj AS c
+  FROM kg t1
+  JOIN kg t2 ON t2.subj = t1.subj
+            AND t2.pred = 'http://kg.test/ontology#segment'
+            AND t2.obj = 'BUILDING'
+  WHERE t1.pred = 'http://kg.test/ontology#type'
+    AND t1.obj = 'http://kg.test/Customer'
+)
+SELECT subj, pred, obj FROM (
+  SELECT subj, pred, obj FROM kg
+  WHERE pred = 'http://kg.test/ontology#segment'
+    AND NOT (obj = 'BUILDING' AND subj IN (SELECT c FROM f))
+  UNION ALL
+  SELECT c, 'http://kg.test/ontology#tier', 'EU-BUILDING' FROM f
+)
+ORDER BY subj, pred, obj
+""" % _KG_TPCH_ORACLE
+
+
+def _html_fixture_spark(docs):
+    return F.concat(
+        F.lit('<html><!-- id '), F.col("doc_id").cast("string"),
+        F.lit(' --><head><script type="text/javascript">var x = 1 < 2;'
+              '</script><style>p{color:red}</style></head><body><h1>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</h1><p>'), F.substring("text", 1, 120),
+        F.lit('</p><P>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;'
+              '&nbsp;end</P><div>tail</div></body></html>'),
+    )
+
+
+_HTML_FIXTURE_SQL = (
+    "'<html><!-- id ' || doc_id::VARCHAR || ' --><head>"
+    "<script type=\"text/javascript\">var x = 1 < 2;</script>"
+    "<style>p{color:red}</style></head><body><h1>Doc ' || "
+    "doc_id::VARCHAR || '</h1><p>' || substring(text, 1, 120) || "
+    "'</p><P>A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;"
+    "&nbsp;end</P><div>tail</div></body></html>'"
+)
+
+
+def q_html_strip(spark, sf_dir):
+    """Generic HTML->text extraction (operators/htmlkit.py:html_strip):
+    script/style/comment removal, block-tag newlines, entity decode,
+    whitespace collapse — a pure JVM regexp_replace chain (no UDF, no
+    shuffle, codegen-fused). Both sides build the same synthetic page
+    around each document's text; the oracle runs the SAME step table
+    compiled to DuckDB SQL (htmlkit.html_strip_sql), so the two
+    engines execute one shared spec."""
+    from rdf_converter_spark.operators.htmlkit import html_strip
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        html_strip(_html_fixture_spark(docs)).alias("text_out"),
+    ).orderBy("doc_id")
+
+
+def _html_strip_oracle():
+    from rdf_converter_spark.operators.htmlkit import html_strip_sql
+
+    return (
+        "SELECT doc_id, %s AS text_out FROM documents ORDER BY doc_id"
+        % html_strip_sql(_HTML_FIXTURE_SQL)
+    )
+
+
 def _rdfs_test_schema(spark):
     """The 10-triple EBU-Core-shaped test ontology shared by
     q_rdfs_entail and q_rdfs_incremental (class chain
@@ -2076,6 +2171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_describe": q_sparql_describe,
         "sameas_smush": q_sameas_smush,
         "void_stats": q_void_stats,
+        "sparql_update": q_sparql_update,
+        "html_strip": q_html_strip,
         "scan_filter_project": scan_filter_project,
         "agg_partial": agg_partial,
         "broadcast_dim_join": broadcast_dim_join,
@@ -2251,6 +2348,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_describe": _SPARQL_DESCRIBE_ORACLE,
         "sameas_smush": _SAMEAS_SMUSH_ORACLE,
         "void_stats": _VOID_STATS_ORACLE,
+        "sparql_update": _SPARQL_UPDATE_ORACLE,
+        "html_strip": _html_strip_oracle(),
         "scan_filter_project": """
             SELECT l_orderkey, l_linenumber,
                    upper(trim(l_returnflag)) AS flag,

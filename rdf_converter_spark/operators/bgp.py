@@ -518,3 +518,91 @@ def describe(
         )
         out = out.unionByName(inc)
     return out.dropDuplicates()
+
+
+def update_where(
+    triples: DataFrame,
+    where: Sequence[Tuple[str, str, str]],
+    delete: Sequence[Tuple[str, str, str]] = (),
+    insert: Sequence[Sequence] = (),
+    optional: Sequence[Sequence[Tuple[str, str, str]]] = (),
+    filters: Sequence[str] = (),
+) -> DataFrame:
+    """SPARQL UPDATE ``DELETE { … } INSERT { … } WHERE { … }`` as a
+    pure function: evaluate the WHERE pattern once, instantiate both
+    templates from the solution bindings, and return the NEW triple
+    table — input minus the instantiated deletes, plus the
+    instantiated inserts. The caller persists it (snapshot write, or
+    :func:`operators.merge.upsert_triples` for the incremental
+    store); keeping the operator functional is what makes it safe to
+    re-run from a checkpoint.
+
+    ``delete`` templates are ``(s, p, o)`` with ``?var`` references —
+    instantiations are removed by an anti-join on the triple key.
+    ``insert`` templates take an optional 4th element, the
+    ``obj_is_uri`` flag (default False); inserted rows carry null
+    lang/datatype. Per the spec, template triples with an unbound
+    term are skipped.
+
+    Plan shape: ONE evaluation of the WHERE join tree feeds both
+    templates (same single-explode trick as CONSTRUCT); the delete
+    side is an anti-join against the corpus (AQE broadcasts the
+    instantiated set when the WHERE selection is small — the common
+    case); the insert side is a zero-shuffle union + the final
+    distinct."""
+    if not delete and not insert:
+        raise ValueError("update_where needs a DELETE and/or INSERT "
+                         "template")
+    sols = bgp_match(triples, where, optional, filters)
+
+    def term(t):
+        return F.col(t[1:]) if _is_var(t) else F.lit(t)
+
+    def instantiate(template, with_flags):
+        structs = []
+        for tpl in template:
+            s, p, o = tpl[0], tpl[1], tpl[2]
+            fields = [
+                term(s).alias("subj"), term(p).alias("pred"),
+                term(o).alias("obj"),
+            ]
+            if with_flags:
+                is_uri = bool(tpl[3]) if len(tpl) > 3 else False
+                fields += [
+                    F.lit(is_uri).alias("obj_is_uri"),
+                    F.lit(None).cast("string").alias("obj_lang"),
+                    F.lit(None).cast("string").alias("obj_datatype"),
+                ]
+            structs.append(F.struct(*fields))
+        return (
+            sols.select(F.explode(F.array(*structs)).alias("t"))
+            .select("t.*")
+            .filter(
+                F.col("subj").isNotNull()
+                & F.col("pred").isNotNull()
+                & F.col("obj").isNotNull()
+            )
+            .dropDuplicates()
+        )
+
+    out = triples
+    if delete:
+        out = out.join(
+            instantiate(delete, with_flags=False),
+            on=["subj", "pred", "obj"], how="left_anti",
+        )
+    if insert:
+        ins = instantiate(insert, with_flags=True)
+        missing = [c for c in out.columns if c not in ins.columns]
+        ins = ins.select(*[
+            (F.col(c) if c not in missing
+             else F.lit(None).cast(out.schema[c].dataType)).alias(c)
+            for c in out.columns
+        ])
+        # set-semantics insert: already-present keys are no-ops, and
+        # surviving input rows pass through untouched (no dedup over
+        # the corpus — extra columns like `graph` stay intact)
+        ins = ins.join(out.select("subj", "pred", "obj"),
+                       on=["subj", "pred", "obj"], how="left_anti")
+        out = out.unionByName(ins)
+    return out

@@ -145,6 +145,69 @@ def test_describe_outgoing_and_incoming(spark):
         ("a", "name"), ("a", "type"), ("b", "knows")]
 
 
+# ------------------------------------------------------------- UPDATE
+
+def test_update_where_delete_insert(spark):
+    from rdf_converter_spark.operators.bgp import update_where
+
+    rows = [
+        ("a", "type", "Person", False, None, None),
+        ("a", "status", "active", False, None, None),
+        ("b", "type", "Person", False, None, None),
+        ("c", "type", "Place", False, None, None),
+        ("c", "status", "active", False, None, None),  # not a Person: kept
+    ]
+    t = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_uri boolean, "
+        "obj_lang string, obj_datatype string",
+    )
+    new = update_where(
+        t,
+        where=[("?s", "type", "Person")],
+        delete=[("?s", "status", "active")],
+        insert=[("?s", "status", "archived"),
+                ("?s", "archivedBy", "http://x/job", True)],
+    )
+    got = sorted((r.subj, r.pred, r.obj, r.obj_is_uri)
+                 for r in new.collect())
+    assert got == [
+        ("a", "archivedBy", "http://x/job", True),
+        ("a", "status", "archived", False),
+        ("a", "type", "Person", False),
+        ("b", "archivedBy", "http://x/job", True),
+        ("b", "status", "archived", False),
+        ("b", "type", "Person", False),
+        ("c", "status", "active", False),
+        ("c", "type", "Place", False),
+    ]
+
+
+def test_update_where_insert_is_set_semantics(spark):
+    from rdf_converter_spark.operators.bgp import update_where
+
+    t = spark.createDataFrame(
+        [("a", "type", "Person", False, None, None)],
+        "subj string, pred string, obj string, obj_is_uri boolean, "
+        "obj_lang string, obj_datatype string",
+    )
+    # inserting an already-present triple must not duplicate it
+    new = update_where(
+        t, where=[("?s", "type", "Person")],
+        insert=[("?s", "type", "Person")],
+    )
+    assert new.count() == 1
+
+
+def test_update_where_needs_a_template(spark):
+    from rdf_converter_spark.operators.bgp import update_where
+
+    t = spark.createDataFrame(
+        [("a", "type", "Person")], ["subj", "pred", "obj"])
+    with pytest.raises(ValueError, match="template"):
+        update_where(t, where=[("?s", "type", "Person")])
+
+
 # ---------------------------------------------------------------- sameAs
 
 def test_sameas_smush_merges_chains(spark):
