@@ -141,6 +141,13 @@ HEADLINE = [
     "r2rml_map",
     "shacl_report",
     "nt_parse",
+    "sparql_aggregate",
+    "sparql_values_page",
+    "sparql_describe",
+    "sparql_update",
+    "sameas_smush",
+    "void_stats",
+    "html_strip",
 ]
 
 
