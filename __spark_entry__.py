@@ -954,6 +954,62 @@ def _html_strip_oracle():
     )
 
 
+def q_html_links(spark, sf_dir):
+    """Anchor link-graph extraction (operators/htmlkit.py:html_links):
+    each synthetic page carries one internal link (markup + entity in
+    the anchor body) and one uppercase external link — two
+    regexp_extract_all passes over the same RE2 pattern, arrays_zip,
+    one explode, anchor text through html_strip; no UDF, no shuffle.
+    The oracle runs the identical pattern + strip chain in DuckDB
+    (list_zip + unnest)."""
+    from rdf_converter_spark.operators.htmlkit import html_links
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    pages = docs.select(
+        F.concat(F.lit("http://site/"), did).alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="http://site/'),
+            ((F.col("doc_id") + 1) % 1000).cast("string"),
+            F.lit('">Doc &amp; <b>'),
+            ((F.col("doc_id") + 1) % 1000).cast("string"),
+            F.lit('</b></a><p>no link</p><A HREF="http://ext/'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('?utm_source=x">ext '),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("</A></body></html>"),
+        ).alias("html_text"),
+    )
+    return html_links(pages).orderBy("src_url", "href", "anchor")
+
+
+def _html_links_oracle():
+    from rdf_converter_spark.operators.htmlkit import (
+        ANCHOR_RE, html_strip_sql,
+    )
+
+    return """
+WITH pages AS (
+  SELECT 'http://site/' || doc_id::VARCHAR AS src_url,
+         '<html><body><a href="http://site/'
+           || ((doc_id + 1) %% 1000)::VARCHAR
+           || '">Doc &amp; <b>' || ((doc_id + 1) %% 1000)::VARCHAR
+           || '</b></a><p>no link</p><A HREF="http://ext/'
+           || (doc_id %% 7)::VARCHAR || '?utm_source=x">ext '
+           || (doc_id %% 7)::VARCHAR || '</A></body></html>' AS html_text
+  FROM documents
+), m AS (
+  SELECT src_url,
+         unnest(list_zip(regexp_extract_all(html_text, '%s', 1),
+                         regexp_extract_all(html_text, '%s', 2))) AS z
+  FROM pages
+)
+SELECT src_url, z[1] AS href, %s AS anchor
+FROM m
+ORDER BY src_url, href, anchor
+""" % (ANCHOR_RE, ANCHOR_RE, html_strip_sql("z[2]"))
+
+
 def _rdfs_test_schema(spark):
     """The 10-triple EBU-Core-shaped test ontology shared by
     q_rdfs_entail and q_rdfs_incremental (class chain
@@ -2173,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "void_stats": q_void_stats,
         "sparql_update": q_sparql_update,
         "html_strip": q_html_strip,
+        "html_links": q_html_links,
         "scan_filter_project": scan_filter_project,
         "agg_partial": agg_partial,
         "broadcast_dim_join": broadcast_dim_join,
@@ -2350,6 +2407,7 @@ def oracle_sql() -> dict[str, str]:
         "void_stats": _VOID_STATS_ORACLE,
         "sparql_update": _SPARQL_UPDATE_ORACLE,
         "html_strip": _html_strip_oracle(),
+        "html_links": _html_links_oracle(),
         "scan_filter_project": """
             SELECT l_orderkey, l_linenumber,
                    upper(trim(l_returnflag)) AS flag,

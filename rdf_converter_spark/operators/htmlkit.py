@@ -33,7 +33,7 @@ cases linear.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # (pattern, replacement) applied in order; (?is) = case-insensitive +
@@ -86,3 +86,54 @@ def html_strip_sql(expr: str) -> str:
             rep.replace("'", "''").replace("\n", "' || chr(10) || '"),
         )
     return "trim(%s)" % out
+
+
+# --------------------------------------------------------------- links
+
+# one anchor: href in double quotes, then the (non-greedy) element
+# body up to the closing tag. RE2-compatible (no lookaround) so the
+# DuckDB oracle runs the IDENTICAL pattern; single-quoted/unquoted
+# href variants are out of scope (documented; real extractors
+# normalize quoting upstream).
+ANCHOR_RE = r'(?is)<a\s[^>]*href="([^"]*)"[^>]*>(.*?)</a>'
+
+
+def html_links(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html_text",
+) -> DataFrame:
+    """Extract the anchor link graph from raw HTML pages: one row per
+    ``<a href="...">`` occurrence with its anchor text —
+    ``(src_url, href, anchor)``.
+
+    This is the web-crawl edge extractor feeding the engine's graph
+    operators (``operators/graph.py``: degrees / PageRank / k-hop) and
+    the mention-detection side of KG construction (anchor text is the
+    classic free supervision for entity linking — the alias dictionary
+    of ``operators/linker.py`` is built from exactly these pairs at
+    corpus scale).
+
+    Plan shape: ``regexp_extract_all`` runs twice over the same value
+    (hrefs, then anchor bodies) and ``arrays_zip`` pairs them —
+    positional alignment is exact because both calls enumerate the
+    SAME match occurrences of the SAME pattern. One explode, no
+    shuffle, no UDF; anchor text is stripped through
+    :func:`html_strip` so markup inside the element (``<b>`` etc.)
+    and entities come out as text.
+
+    A page whose HTML contains no anchors emits no rows (inner
+    explode) — callers needing the isolated-page row should left-join
+    back to ``pages``."""
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), 1)
+    bodies = F.regexp_extract_all(F.col(html_col), F.lit(ANCHOR_RE), 2)
+    pair = F.explode(F.arrays_zip(
+        hrefs.alias("href"), bodies.alias("body")))
+    return (
+        pages.select(F.col(url_col).alias("src_url"), pair.alias("a"))
+        .select(
+            "src_url",
+            F.col("a.href").alias("href"),
+            html_strip(F.col("a.body")).alias("anchor"),
+        )
+    )

@@ -39,3 +39,20 @@ def test_html_strip_sql_twin_matches_spark(spark):
         % html_strip_sql("h"), [[h for h, _ in CASES]],
     ).fetchall()
     assert [r[0] for r in rows] == [e for _, e in CASES]
+
+
+def test_html_links_extraction(spark):
+    from rdf_converter_spark.operators.htmlkit import html_links
+
+    pages = spark.createDataFrame([
+        ("p1", '<a href="u1">one</a> mid <A HREF="u2">Two &amp; <b>half</b></A>'),
+        ("p2", '<a name="no-href">skip</a><a rel="x" href="u3">three</a>'),
+        ("p3", "no anchors here"),
+    ], ["url", "html_text"])
+    got = sorted((r.src_url, r.href, r.anchor)
+                 for r in html_links(pages).collect())
+    assert got == [
+        ("p1", "u1", "one"),
+        ("p1", "u2", "Two & half"),
+        ("p2", "u3", "three"),
+    ]
