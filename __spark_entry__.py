@@ -402,6 +402,60 @@ ORDER BY cust, segment
 """ % _KG_TPCH_ORACLE
 
 
+def q_sparql_exists(spark, sf_dir):
+    """SPARQL FILTER EXISTS / NOT EXISTS (operators/bgp.py): customers
+    with their segment that have at least one finished order (EXISTS —
+    left-semi join, binds nothing, preserves bag cardinality) and are
+    not in a EUROPE nation (NOT EXISTS — left-anti). The oracle is the
+    literal EXISTS/NOT EXISTS subquery pair over the identical triple
+    CTE."""
+    from rdf_converter_spark.operators.bgp import bgp_match
+
+    base = "http://kg.test/"
+    o = base + "ontology#"
+    kg = _kg_tpch_unordered(spark, sf_dir)
+    out = bgp_match(
+        kg,
+        [("?c", o + "type", base + "Customer"),
+         ("?c", o + "segment", "?seg")],
+        exists=[[("?ord", o + "by", "?c"),
+                 ("?ord", o + "status", "F")]],
+        not_exists=[[("?c", o + "nation", "?n"),
+                     ("?n", o + "region", "EUROPE")]],
+    )
+    return out.select(
+        F.col("c").alias("cust"), F.col("seg").alias("segment"),
+    ).orderBy("cust", "segment")
+
+
+_SPARQL_EXISTS_ORACLE = """
+WITH kg AS (%s)
+SELECT t1.subj AS cust, t2.obj AS segment
+FROM kg t1
+JOIN kg t2 ON t2.subj = t1.subj
+          AND t2.pred = 'http://kg.test/ontology#segment'
+WHERE t1.pred = 'http://kg.test/ontology#type'
+  AND t1.obj = 'http://kg.test/Customer'
+  AND EXISTS (
+    SELECT 1 FROM kg b
+    JOIN kg s ON s.subj = b.subj
+             AND s.pred = 'http://kg.test/ontology#status'
+             AND s.obj = 'F'
+    WHERE b.pred = 'http://kg.test/ontology#by'
+      AND b.obj = t1.subj
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM kg n
+    JOIN kg r ON r.subj = n.obj
+             AND r.pred = 'http://kg.test/ontology#region'
+             AND r.obj = 'EUROPE'
+    WHERE n.subj = t1.subj
+      AND n.pred = 'http://kg.test/ontology#nation'
+  )
+ORDER BY cust, segment
+""" % _KG_TPCH_ORACLE
+
+
 def q_r2rml_map(spark, sf_dir):
     """R2RML-lite declarative mapping (operators/r2rml.py): one
     triples map over the raw customer table — subject template +
@@ -2219,6 +2273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quad_graphs": q_quad_graphs,
         "path_match": q_path_match,
         "sparql_minus": q_sparql_minus,
+        "sparql_exists": q_sparql_exists,
         "r2rml_map": q_r2rml_map,
         "shacl_report": q_shacl_report,
         "nt_parse": q_nt_parse,
@@ -2397,6 +2452,7 @@ def oracle_sql() -> dict[str, str]:
         "quad_graphs": _QUAD_GRAPHS_ORACLE,
         "path_match": _PATH_MATCH_ORACLE,
         "sparql_minus": _SPARQL_MINUS_ORACLE,
+        "sparql_exists": _SPARQL_EXISTS_ORACLE,
         "r2rml_map": _R2RML_MAP_ORACLE,
         "shacl_report": _SHACL_REPORT_ORACLE,
         "nt_parse": _NT_PARSE_ORACLE,

@@ -83,6 +83,8 @@ def bgp_match(
     filters: Sequence[str] = (),
     minus: Sequence[Sequence[Tuple[str, str, str]]] = (),
     values: Sequence[dict] = (),
+    exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
+    not_exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
     _positions: Sequence[str] = _POS,
 ) -> DataFrame:
     """Match a basic graph pattern against ``triples``.
@@ -113,6 +115,21 @@ def bgp_match(
     while the spec's domain-restricted compatibility would test only
     the bound variables — avoid mixing OPTIONAL-bound variables into
     MINUS keys.
+
+    ``exists`` / ``not_exists`` take SPARQL ``FILTER EXISTS { ... }``
+    / ``FILTER NOT EXISTS { ... }`` groups — each matched as its own
+    sub-BGP and applied as a LEFT-SEMI (resp. LEFT-ANTI) join on the
+    shared variables: no new columns ever bind (the spec's filter
+    scope), and duplicate solutions are preserved exactly (a semi
+    join never multiplies rows, where an inner join against the
+    group would). The semantic split from ``minus``: a group sharing
+    NO variable is the spec's *uncorrelated* filter — it removes
+    every row (NOT EXISTS) or no row (EXISTS) purely on whether the
+    group matches anywhere, implemented as a broadcast 0/1-row probe
+    rather than the MINUS path's fail-fast. Same NULL caveat as
+    MINUS: an OPTIONAL-unbound shared variable never matches (Spark
+    null-key join), while the spec's substitution would leave it
+    free — keep EXISTS keys to required variables.
 
     ``values`` takes SPARQL ``VALUES`` inline data: a sequence of
     ``{var: constant}`` dicts (every dict must bind the same
@@ -208,6 +225,26 @@ def bgp_match(
         else:
             bound = bound.crossJoin(F.broadcast(vdf))
         bound_vars |= vvars
+    for negate, groups in ((False, exists), (True, not_exists)):
+        for group in groups:
+            rel = bgp_match(triples, group, _positions=_positions)
+            shared = sorted(bound_vars & set(rel.columns))
+            if shared:
+                bound = bound.join(
+                    rel.select(*shared), on=shared,
+                    how="left_anti" if negate else "left_semi")
+            else:
+                # Uncorrelated (NOT) EXISTS: unlike MINUS, a group
+                # sharing no variable still decides globally — the
+                # whole solution survives iff the group matches
+                # (resp. fails to match) ANYWHERE in the graph. One
+                # broadcast 0/1-row probe, never a per-row scan.
+                probe = F.broadcast(
+                    rel.limit(1).select(F.lit(1).alias("__probe")))
+                bound = bound.join(
+                    probe,
+                    on=F.lit(True),
+                    how="left_anti" if negate else "left_semi")
     for expr in filters:
         # SPARQL-style ?var tokens are validated against the bound
         # set and rewritten to column references; plain identifiers

@@ -298,6 +298,59 @@ def test_minus_then_filter_order(triples):
     assert out.collect() == []
 
 
+def test_exists_keeps_correlated_solutions(triples):
+    out = bgp_match(
+        triples,
+        [("?s", "type", "Person")],
+        exists=[[("?s", "knows", "?o"), ("?o", "type", "Place")]],
+    )
+    assert [r.s for r in out.collect()] == ["b"]
+    assert out.columns == ["s"]  # EXISTS binds no new variables
+
+
+def test_not_exists_filters_correlated_solutions(triples):
+    out = bgp_match(
+        triples,
+        [("?s", "type", "Person")],
+        not_exists=[[("?s", "knows", "?o"), ("?o", "type", "Place")]],
+    )
+    assert [r.s for r in out.collect()] == ["a"]
+
+
+def test_exists_semi_join_preserves_duplicates(spark):
+    # bag semantics: two identical required solutions both survive a
+    # matching EXISTS (an inner join against the group would multiply
+    # them by the number of group matches instead)
+    t = spark.createDataFrame(
+        [("a", "type", "P"), ("a", "type", "P"), ("a", "knows", "b"),
+         ("a", "knows", "c")],
+        ["subj", "pred", "obj"])
+    out = bgp_match(t, [("?s", "type", "P")],
+                    exists=[[("?s", "knows", "?o")]])
+    assert [r.s for r in out.collect()] == ["a", "a"]
+
+
+def test_uncorrelated_exists_is_global_gate(triples):
+    # no shared variable: EXISTS keeps everything iff the group
+    # matches anywhere; NOT EXISTS is the complement (MINUS would
+    # raise here — the spec semantics differ)
+    base = [("?s", "type", "Person")]
+    assert sorted(
+        r.s for r in bgp_match(
+            triples, base, exists=[[("?x", "likes", "?y")]]).collect()
+    ) == ["a", "b"]
+    assert bgp_match(
+        triples, base, not_exists=[[("?x", "likes", "?y")]],
+    ).collect() == []
+    assert bgp_match(
+        triples, base, exists=[[("?x", "eats", "?y")]],
+    ).collect() == []
+    assert sorted(
+        r.s for r in bgp_match(
+            triples, base, not_exists=[[("?x", "eats", "?y")]]).collect()
+    ) == ["a", "b"]
+
+
 QUADS = [
     ("g1", "a", "type", "Person"),
     ("g1", "a", "name", "Alice"),
