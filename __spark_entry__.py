@@ -1967,6 +1967,76 @@ def q_line_dedup(spark, sf_dir):
     return line_dedup(_t(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+def q_span_dedup(spark, sf_dir):
+    """Exact-substring span-duplication stats (operators/dedup.py:
+    span_dedup, the Lee-et-al fixed-window approximation): every
+    overlapping 8-word span hashed in-row, duplicated = same span
+    text in >= 2 distinct docs, per-doc instance counts via one semi
+    join. Two 8-word boilerplate sentences are planted on doc_id%3
+    and doc_id%7 so cross-doc duplication provably exists; the oracle
+    reproduces windows, distinct-doc frequency and instance counting
+    in DuckDB over the identically planted corpus."""
+    from rdf_converter_spark.operators.dedup import span_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" all rights reserved by the example publishing"
+                      " house"),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.lit(" subscribe to our newsletter for more daily"
+                      " stories"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return span_dedup(planted, window=8).orderBy("doc_id")
+
+
+def _span_dedup_oracle():
+    # deferred: _WORDS is defined further down the module
+    return """
+WITH d AS (
+  SELECT doc_id, text
+    || CASE WHEN doc_id % 3 = 0
+            THEN ' all rights reserved by the example publishing house'
+            ELSE '' END
+    || CASE WHEN doc_id % 7 = 0
+            THEN ' subscribe to our newsletter for more daily stories'
+            ELSE '' END AS text
+  FROM documents
+), w AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE greatest(len({W}) - 7, 0) END AS n_spans,
+         {W} AS words
+  FROM d
+), inst AS (
+  SELECT doc_id, unnest(list_transform(range(0, n_spans),
+           i -> md5(array_to_string(words[i+1:i+8], ' ')))) AS h
+  FROM w
+), dup AS (
+  SELECT h FROM (SELECT DISTINCT doc_id, h FROM inst)
+  GROUP BY h HAVING count(*) >= 2
+), cnt AS (
+  SELECT doc_id, count(*) AS dup_spans FROM inst
+  WHERE h IN (SELECT h FROM dup) GROUP BY doc_id
+)
+SELECT w.doc_id, w.n_spans::BIGINT AS n_spans,
+       coalesce(c.dup_spans, 0)::BIGINT AS dup_spans,
+       CASE WHEN w.n_spans > 0
+            THEN coalesce(c.dup_spans, 0) / w.n_spans
+            ELSE 0.0 END AS dup_ratio
+FROM w LEFT JOIN cnt c USING (doc_id)
+ORDER BY w.doc_id
+""".format(W=_WORDS)
+
+
 def q_length_percentiles(spark, sf_dir):
     """Per-language EXACT length percentiles at dyadic quantiles
     (.25/.5/.75 interpolate integers to exactly-representable
@@ -2336,6 +2406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triple_upsert": q_triple_upsert,
         "normalize_text": q_normalize_text,
         "line_dedup": q_line_dedup,
+        "span_dedup": q_span_dedup,
         "length_percentiles": q_length_percentiles,
         "corpus_rollup": q_corpus_rollup,
         "bm25": q_bm25,
@@ -3249,6 +3320,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT * FROM delta WHERE obj IS NOT NULL
             ) ORDER BY subj, pred, obj
         """,
+        "span_dedup": _span_dedup_oracle(),
         "line_dedup": """
             WITH w AS (SELECT doc_id,
                               CASE WHEN trim(text) = '' THEN []

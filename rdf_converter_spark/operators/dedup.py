@@ -355,6 +355,71 @@ def near_dup_clusters(
     )
 
 
+def span_dedup(docs: DataFrame, window: int = 8) -> DataFrame:
+    """Exact-substring duplication statistics, the fixed-window
+    approximation of Lee et al. 2022 ("Deduplicating Training Data
+    Makes Language Models Better"): hash every OVERLAPPING
+    ``window``-word span of every document; a span whose exact text
+    occurs in >= 2 DISTINCT documents is duplicated. Per document
+    report ``(doc_id, n_spans, dup_spans, dup_ratio)`` — the curation
+    signal used to drop or trim documents that mostly restate corpus
+    content (licence boilerplate, syndicated articles, mirrored
+    pages). Complements :func:`line_dedup`: that one removes chunks
+    repeated anywhere (including within one doc) and reassembles
+    text; this one measures cross-document repetition with full
+    overlap resolution, the exact-substring analog of the suffix-
+    array pass in the paper.
+
+    Plan shape (100 TB lens): spans are an in-row ``transform`` over
+    the split words (one md5 per span, no UDF); ONE explode; the
+    duplicated-span set is a partial-aggregated count over the
+    (doc, span) DISTINCT pairs (within-doc repeats collapse BEFORE
+    the frequency count so self-repetition never fakes corpus
+    duplication); per-doc counting is a semi join of span instances
+    against the duplicated keys — both sides hash-partitioned on the
+    span key, and AQE broadcasts the duplicated set when it is small.
+    ``n_spans`` is a pure expression on the input row (no second
+    corpus aggregate). State per span key is one counter; nothing
+    all-pairs.
+
+    A document with fewer than ``window`` words (or whitespace-only
+    text, whose ``split`` yields ``['']``) has 0 spans and reports
+    ``dup_ratio = 0.0`` — short docs are never flagged by spans they
+    cannot contain (the ADVICE r4 short-gram rule applied here from
+    the start)."""
+    words = _words()
+    n_words = F.when(
+        F.trim(F.col("text")) == "", F.lit(0)
+    ).otherwise(F.size(words))
+    n_spans = F.greatest(n_words - window + 1, F.lit(0))
+    idx = F.when(
+        n_spans > 0, F.sequence(F.lit(0), n_spans - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    spans = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(words, i + 1, window)))
+    )
+    inst = _spread(docs).select("doc_id", F.explode(spans).alias("h"))
+    dup = (
+        inst.distinct()  # (doc, span) pairs: within-doc repeats collapse
+        .groupBy("h").agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    cnt = (
+        inst.join(dup, "h", "left_semi")
+        .groupBy("doc_id").agg(F.count("*").alias("dup_spans"))
+    )
+    base = docs.select("doc_id", n_spans.cast("long").alias("n_spans"))
+    dup_c = F.coalesce(F.col("dup_spans"), F.lit(0)).cast("long")
+    return base.join(cnt, "doc_id", "left").select(
+        "doc_id",
+        "n_spans",
+        dup_c.alias("dup_spans"),
+        F.when(F.col("n_spans") > 0, dup_c / F.col("n_spans"))
+        .otherwise(F.lit(0.0)).alias("dup_ratio"),
+    )
+
+
 def line_dedup(docs: DataFrame, width: int = 5) -> DataFrame:
     """CCNet-style line-level corpus dedup: split every document into
     fixed-width word chunks (the "lines" of a corpus whose documents

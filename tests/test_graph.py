@@ -196,6 +196,47 @@ def test_line_dedup_keeps_trailing_words(spark):
     )
 
 
+def test_span_dedup_overlapping_cross_doc(spark):
+    from rdf_converter_spark.operators.dedup import span_dedup
+
+    shared = "w1 w2 w3 w4"  # one full window shared by docs 1+2
+    docs = spark.createDataFrame(
+        [
+            (1, shared + " aa bb"),   # 6 words -> 3 spans, 1 duplicated
+            (2, "zz " + shared),      # 5 words -> 2 spans, 1 duplicated
+            (3, "p q r s t u"),       # unique -> 3 spans, 0 duplicated
+            (4, "too short"),         # < window -> 0 spans
+            (5, ""),                  # empty split guard -> 0 spans
+            (6, "x y x y x y x y"),   # self-repeating only -> NOT dup
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_dedup(docs, window=4).collect()}
+    assert (got[1]["n_spans"], got[1]["dup_spans"]) == (3, 1)
+    assert (got[2]["n_spans"], got[2]["dup_spans"]) == (2, 1)
+    assert (got[3]["n_spans"], got[3]["dup_spans"]) == (3, 0)
+    assert (got[4]["n_spans"], got[4]["dup_spans"]) == (0, 0)
+    assert (got[5]["n_spans"], got[5]["dup_spans"]) == (0, 0)
+    # within-doc repetition alone never counts as corpus duplication
+    assert (got[6]["n_spans"], got[6]["dup_spans"]) == (5, 0)
+    assert got[1]["dup_ratio"] == 1 / 3
+    assert got[5]["dup_ratio"] == 0.0
+
+
+def test_span_dedup_counts_every_overlapping_instance(spark):
+    from rdf_converter_spark.operators.dedup import span_dedup
+
+    # doc 1 contains the shared window TWICE; both instances count in
+    # dup_spans (instance-level, like the paper's span removal)
+    docs = spark.createDataFrame(
+        [(1, "a b c d x a b c d"), (2, "a b c d")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in span_dedup(docs, window=4).collect()}
+    assert (got[1]["n_spans"], got[1]["dup_spans"]) == (6, 2)
+    assert (got[2]["n_spans"], got[2]["dup_spans"]) == (1, 1)
+
+
 def test_length_percentiles_exact(spark):
     from rdf_converter_spark.operators.textstats import length_percentiles
 
