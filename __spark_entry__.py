@@ -2037,6 +2037,74 @@ ORDER BY w.doc_id
 """.format(W=_WORDS)
 
 
+def q_boilerplate_strip(spark, sf_dir):
+    """Per-host boilerplate removal (operators/curation.py:
+    boilerplate_strip): pages synthesized from documents over 5 hosts
+    — a banner line on 100% of each host's pages (stripped), a
+    newsletter line on the even half (exactly at the 0.5 threshold,
+    stripped), the document text and a per-page ref line (kept). The
+    oracle reproduces the distinct-page frequency, host totals,
+    threshold and ordered reassembly in DuckDB."""
+    from rdf_converter_spark.operators.curation import boilerplate_strip
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    host = F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"))
+    pages = docs.select(
+        host.alias("host"),
+        F.concat(F.lit("http://"), host, F.lit("/p"), did).alias("url"),
+        F.concat(
+            F.lit("accept all cookies on this site\n"),
+            F.col("text"),
+            F.when(F.col("doc_id") % 2 == 0,
+                   F.lit("\nsubscribe to the weekly newsletter"))
+            .otherwise(F.lit("")),
+            F.lit("\nref "), did,
+        ).alias("text"),
+    )
+    return boilerplate_strip(pages, min_pages=2, max_frac=0.5).orderBy("url")
+
+
+_BOILERPLATE_ORACLE = """
+WITH pages AS (
+  SELECT 'h' || (doc_id % 5)::VARCHAR AS host,
+         'http://h' || (doc_id % 5)::VARCHAR || '/p'
+           || doc_id::VARCHAR AS url,
+         'accept all cookies on this site' || chr(10) || text
+           || CASE WHEN doc_id % 2 = 0
+                   THEN chr(10) || 'subscribe to the weekly newsletter'
+                   ELSE '' END
+           || chr(10) || 'ref ' || doc_id::VARCHAR AS text
+  FROM documents
+), l AS (
+  SELECT host, url, CAST(i AS INT) AS pos, lines[i+1] AS line
+  FROM (SELECT host, url, string_split(text, chr(10)) AS lines
+        FROM pages), unnest(range(0, len(lines))) AS t(i)
+), freq AS (
+  SELECT host, line, count(*) AS npages
+  FROM (SELECT DISTINCT host, url, line FROM l) GROUP BY host, line
+), tot AS (
+  SELECT host, count(*) AS total FROM pages GROUP BY host
+), boiler AS (
+  SELECT f.host, f.line FROM freq f JOIN tot USING (host)
+  WHERE npages >= 2 AND npages / total >= 0.5e0
+), kept AS (
+  SELECT l.url, count(*) AS n_kept,
+         string_agg(l.line, chr(10) ORDER BY l.pos) AS new_text
+  FROM l
+  WHERE NOT EXISTS (SELECT 1 FROM boiler b
+                    WHERE b.host = l.host AND b.line = l.line)
+  GROUP BY l.url
+)
+SELECT p.url, p.host,
+       len(string_split(p.text, chr(10)))::BIGINT AS n_lines,
+       coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+       coalesce(k.new_text, '') AS new_text
+FROM pages p LEFT JOIN kept k USING (url)
+ORDER BY p.url
+"""
+
+
 def q_length_percentiles(spark, sf_dir):
     """Per-language EXACT length percentiles at dyadic quantiles
     (.25/.5/.75 interpolate integers to exactly-representable
@@ -2407,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_text": q_normalize_text,
         "line_dedup": q_line_dedup,
         "span_dedup": q_span_dedup,
+        "boilerplate_strip": q_boilerplate_strip,
         "length_percentiles": q_length_percentiles,
         "corpus_rollup": q_corpus_rollup,
         "bm25": q_bm25,
@@ -3321,6 +3390,7 @@ def oracle_sql() -> dict[str, str]:
             ) ORDER BY subj, pred, obj
         """,
         "span_dedup": _span_dedup_oracle(),
+        "boilerplate_strip": _BOILERPLATE_ORACLE,
         "line_dedup": """
             WITH w AS (SELECT doc_id,
                               CASE WHEN trim(text) = '' THEN []

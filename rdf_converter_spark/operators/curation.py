@@ -218,3 +218,78 @@ def sequence_pack(
         F.expr("_cum DIV %d" % capacity).alias("bin"),
         (F.col("_cum") % capacity).cast("long").alias("offset"),
     )
+
+
+def boilerplate_strip(
+    pages: DataFrame,
+    host_col: str = "host",
+    url_col: str = "url",
+    text_col: str = "text",
+    min_pages: int = 2,
+    max_frac: float = 0.5,
+) -> DataFrame:
+    """Per-host boilerplate line removal (the CCNet / RefinedWeb
+    heuristic): a LINE that occurs on at least ``max_frac`` of a
+    host's pages (and on >= ``min_pages`` pages, so two-page hosts
+    don't strip everything they share) is site template — cookie
+    banners, nav menus, footers — and is removed from EVERY page of
+    that host. Unlike :func:`dedup.line_dedup` (corpus-global, any
+    second occurrence) the threshold is a per-host FRACTION, so a
+    sentence legitimately quoted by two pages of a large site
+    survives while the banner on all of them goes.
+
+    Plan shape (100 TB lens): one explode of the line array; the
+    host-line page-frequency is a partial-aggregated count over
+    DISTINCT (host, url, line) rows (within-page repeats count one
+    page); host page totals are a second, host-keyed aggregate of the
+    page table itself (never the exploded lines); the boilerplate set
+    is their join on host (AQE sizes it) and is removed with ONE
+    left-anti join on (host, line). Per-host state is one counter per
+    distinct line — hosts are the natural partition key of a crawl,
+    so no single key exceeds a site's template vocabulary; a hub host
+    is exactly the AQE skew-join case.
+
+    Returns every input page: ``(url, host, n_lines, n_kept,
+    new_text)`` with surviving lines rejoined in original order; a
+    page whose every line was template keeps ``new_text = ''``."""
+    host, url = F.col(host_col), F.col(url_col)
+    lines = F.split(F.col(text_col), "\n")
+    exploded = pages.select(
+        host.alias("host"), url.alias("url"),
+        F.posexplode(lines).alias("pos", "line"),
+    )
+    freq = (
+        exploded.select("host", "url", "line").distinct()
+        .groupBy("host", "line").agg(F.count("*").alias("npages"))
+    )
+    totals = pages.groupBy(host.alias("host")).agg(
+        F.count("*").alias("total"))
+    boiler = (
+        freq.join(totals, "host")
+        .filter((F.col("npages") >= min_pages)
+                & (F.col("npages") / F.col("total") >= max_frac))
+        .select("host", "line")
+    )
+    kept = (
+        exploded.join(boiler, ["host", "line"], "left_anti")
+        .groupBy("url")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("new_text"),
+        )
+    )
+    base = pages.select(
+        url.alias("url"), host.alias("host"),
+        F.size(lines).cast("long").alias("n_lines"),
+    )
+    return base.join(kept, "url", "left").select(
+        "url", "host", "n_lines",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("new_text", F.lit("")).alias("new_text"),
+    )

@@ -181,3 +181,60 @@ def test_mixture_sample_rejects_zero_rounding_weight(spark):
     )
     with pytest.raises(ValueError, match="zero threshold"):
         mixture_sample(docs, {"rare": 0.00001})
+
+
+def test_boilerplate_strip_per_host_threshold(spark):
+    from rdf_converter_spark.operators.curation import boilerplate_strip
+
+    banner = "accept all cookies"
+    pages = spark.createDataFrame(
+        [
+            # host A: banner on 3/3 pages (stripped), quote on 1/3 (kept)
+            ("A", "a1", banner + "\nalpha one\nref a1"),
+            ("A", "a2", banner + "\nalpha two\nref a2"),
+            ("A", "a3", banner + "\nalpha three\nshared quote\nref a3"),
+            # host B: same banner text but only 1/2 pages -> below
+            # frac on B, host-scoped so A's stripping never leaks
+            ("B", "b1", banner + "\nbeta one"),
+            ("B", "b2", "beta two\nshared quote"),
+        ],
+        "host string, url string, text string",
+    )
+    got = {r["url"]: r for r in
+           boilerplate_strip(pages, max_frac=0.6).collect()}
+    assert got["a1"]["new_text"] == "alpha one\nref a1"
+    assert (got["a1"]["n_lines"], got["a1"]["n_kept"]) == (3, 2)
+    assert got["a3"]["new_text"] == "alpha three\nshared quote\nref a3"
+    # host B keeps the banner: 1/2 pages < 0.6
+    assert got["b1"]["new_text"] == banner + "\nbeta one"
+    assert got["b2"]["new_text"] == "beta two\nshared quote"
+
+
+def test_boilerplate_strip_min_pages_and_total_strip(spark):
+    from rdf_converter_spark.operators.curation import boilerplate_strip
+
+    pages = spark.createDataFrame(
+        [
+            # two-page host sharing its ONLY line: min_pages=3 protects it
+            ("C", "c1", "tiny shared"),
+            ("C", "c2", "tiny shared"),
+            # big host where one page is ALL template
+            ("D", "d1", "menu\nfooter"),
+            ("D", "d2", "menu\nfooter"),
+            ("D", "d3", "menu\nfooter\nreal content"),
+        ],
+        "host string, url string, text string",
+    )
+    got = {r["url"]: r for r in
+           boilerplate_strip(pages, min_pages=3, max_frac=0.5).collect()}
+    assert got["c1"]["new_text"] == "tiny shared"
+    assert (got["d1"]["n_kept"], got["d1"]["new_text"]) == (0, "")
+    assert got["d3"]["new_text"] == "real content"
+    # within-page repetition counts ONE page toward the frequency
+    pages2 = spark.createDataFrame(
+        [("E", "e1", "x\nx\nx"), ("E", "e2", "y"), ("E", "e3", "z")],
+        "host string, url string, text string",
+    )
+    got2 = {r["url"]: r for r in
+            boilerplate_strip(pages2, min_pages=2, max_frac=0.5).collect()}
+    assert got2["e1"]["new_text"] == "x\nx\nx"
