@@ -456,6 +456,64 @@ ORDER BY cust, segment
 """ % _KG_TPCH_ORACLE
 
 
+def q_sparql_subquery(spark, sf_dir):
+    """SPARQL 1.1 subquery (spec §12 pattern): inner
+    ``SELECT ?n (MAX(?d) AS ?maxd) GROUP BY ?n`` over orders-by-nation
+    (operators/bgp.py:bgp_aggregate), joined into the outer BGP on the
+    shared variable and filtered ``?d = ?maxd`` — the
+    latest-order-per-nation customers with nation labels. Pure
+    composition of the BGP operators: subqueries need no new engine
+    code because the binding relation IS a DataFrame. DISTINCT
+    projection per the spec's set semantics for the final SELECT."""
+    from rdf_converter_spark.operators.bgp import bgp_aggregate, bgp_match
+
+    base = "http://kg.test/"
+    o = base + "ontology#"
+    kg = _kg_tpch_unordered(spark, sf_dir)
+    outer = bgp_match(kg, [
+        ("?c", o + "nation", "?n"),
+        ("?n", o + "label", "?lbl"),
+        ("?ord", o + "by", "?c"),
+        ("?ord", o + "date", "?d"),
+    ])
+    inner = bgp_aggregate(
+        kg,
+        [("?c", o + "nation", "?n"),
+         ("?ord", o + "by", "?c"),
+         ("?ord", o + "date", "?d")],
+        group_by=["?n"],
+        aggregates={"maxd": "MAX(?d)"},
+    )
+    return (
+        outer.join(inner, "n")
+        .filter(F.col("d") == F.col("maxd"))
+        .select(F.col("lbl").alias("nation"), F.col("c").alias("cust"),
+                F.col("d").alias("odate"))
+        .distinct()
+        .orderBy("nation", "cust", "odate")
+    )
+
+
+_SPARQL_SUBQUERY_ORACLE = """
+WITH kg AS (%s), sol AS (
+  SELECT c.subj AS cust, c.obj AS nat, l.obj AS lbl, d.obj AS dt
+  FROM kg c
+  JOIN kg l ON l.subj = c.obj
+           AND l.pred = 'http://kg.test/ontology#label'
+  JOIN kg o ON o.pred = 'http://kg.test/ontology#by'
+           AND o.obj = c.subj
+  JOIN kg d ON d.subj = o.subj
+           AND d.pred = 'http://kg.test/ontology#date'
+  WHERE c.pred = 'http://kg.test/ontology#nation'
+), mx AS (
+  SELECT nat, max(dt) AS maxd FROM sol GROUP BY nat
+)
+SELECT DISTINCT s.lbl AS nation, s.cust, s.dt AS odate
+FROM sol s JOIN mx ON s.nat = mx.nat AND s.dt = mx.maxd
+ORDER BY nation, cust, odate
+""" % _KG_TPCH_ORACLE
+
+
 def q_r2rml_map(spark, sf_dir):
     """R2RML-lite declarative mapping (operators/r2rml.py): one
     triples map over the raw customer table — subject template +
@@ -2412,6 +2470,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_match": q_path_match,
         "sparql_minus": q_sparql_minus,
         "sparql_exists": q_sparql_exists,
+        "sparql_subquery": q_sparql_subquery,
         "r2rml_map": q_r2rml_map,
         "shacl_report": q_shacl_report,
         "nt_parse": q_nt_parse,
@@ -2593,6 +2652,7 @@ def oracle_sql() -> dict[str, str]:
         "path_match": _PATH_MATCH_ORACLE,
         "sparql_minus": _SPARQL_MINUS_ORACLE,
         "sparql_exists": _SPARQL_EXISTS_ORACLE,
+        "sparql_subquery": _SPARQL_SUBQUERY_ORACLE,
         "r2rml_map": _R2RML_MAP_ORACLE,
         "shacl_report": _SHACL_REPORT_ORACLE,
         "nt_parse": _NT_PARSE_ORACLE,
