@@ -2212,6 +2212,45 @@ def q_event_deltas(spark, sf_dir):
     return event_deltas(_t(spark, sf_dir, "events")).orderBy("event_id")
 
 
+def q_interval_join(spark, sf_dir):
+    """Bucketized point-in-interval range join (operators/events.py:
+    interval_point_join): error events open half-open windows of
+    (event_id%10+1) minutes; click events are points. All times are
+    epoch-microsecond LONGs (unix_micros / epoch_us — no float or
+    calendar arithmetic), the join is an equi-join on 1-minute bucket
+    ids (never a nested loop — plan-asserted in tests), and the
+    oracle is the naive inequality join DuckDB can afford at sf."""
+    from rdf_converter_spark.operators.events import interval_point_join
+
+    ev = _t(spark, sf_dir, "events")
+    ivals = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("iid"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("start"),
+        (F.unix_micros(F.col("ts").cast("timestamp"))
+         + (F.col("event_id") % 10 + 1) * 60_000_000).alias("end"),
+    )
+    pts = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("pid"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t"),
+    )
+    out = interval_point_join(ivals, pts, bucket=60_000_000)
+    return out.select("iid", "pid").orderBy("iid", "pid")
+
+
+_INTERVAL_JOIN_ORACLE = """
+WITH i AS (
+  SELECT event_id AS iid, epoch_us(ts) AS s,
+         epoch_us(ts) + (event_id % 10 + 1) * 60000000 AS e
+  FROM events WHERE event_type = 'error'
+), p AS (
+  SELECT event_id AS pid, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'click'
+)
+SELECT iid, pid FROM i JOIN p ON p.t >= i.s AND p.t < i.e
+ORDER BY iid, pid
+"""
+
+
 def q_skew_salted_join(spark, sf_dir):
     """Hub-key-safe fact⋈dim join: events (event_type is a classic
     power-law key — a handful of types carry most rows) joined to a
@@ -2539,6 +2578,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_rollup": q_corpus_rollup,
         "bm25": q_bm25,
         "event_deltas": q_event_deltas,
+        "interval_join": q_interval_join,
         "skew_salted_join": q_skew_salted_join,
         "hll_distinct": q_hll_distinct,
         "star_join_revenue": q_star_join_revenue,
@@ -3640,6 +3680,7 @@ def oracle_sql() -> dict[str, str]:
             FROM tf JOIN df USING (term) CROSS JOIN st
             GROUP BY doc_id ORDER BY doc_id
         """.format(w=_WORDS),
+        "interval_join": _INTERVAL_JOIN_ORACLE,
         "event_deltas": """
             SELECT event_id, user_id,
                    round(value - lag(value) OVER w, 6) AS value_delta,

@@ -81,3 +81,48 @@ def test_hll_estimate_within_expected_error(spark):
     # 100 docs x 38 unique 3-shingles, zero overlap across docs
     assert r["n_exact"] == 3800
     assert abs(r["n_est"] - r["n_exact"]) / r["n_exact"] < 0.4
+
+
+def test_interval_point_join_matches_brute_force(spark):
+    import itertools
+    from rdf_converter_spark.operators.events import interval_point_join
+
+    # spans chosen to cross bucket boundaries (bucket=100)
+    ivals = [(1, 50, 250), (2, 100, 101), (3, 400, 700), (4, 699, 700)]
+    pts = [(10, 50), (11, 99), (12, 100), (13, 249), (14, 250),
+           (15, 500), (16, 699), (17, 700)]
+    idf = spark.createDataFrame(ivals, "iid long, start long, end long")
+    pdf = spark.createDataFrame(pts, "pid long, t long")
+    got = sorted(
+        (r.iid, r.pid)
+        for r in interval_point_join(idf, pdf, bucket=100).collect()
+    )
+    want = sorted(
+        (i, p) for (i, s, e), (p, t) in itertools.product(ivals, pts)
+        if s <= t < e  # half-open
+    )
+    assert got == want
+    assert (1, 14) not in got          # end is exclusive
+    assert (4, 16) in got and (4, 17) not in got
+
+
+def test_interval_point_join_no_nested_loop_plan(spark):
+    from rdf_converter_spark.operators.events import interval_point_join
+
+    idf = spark.range(10).selectExpr(
+        "id AS iid", "id * 1000 AS start", "id * 1000 + 500 AS end")
+    pdf = spark.range(100).selectExpr("id AS pid", "id * 97 AS t")
+    plan = interval_point_join(idf, pdf, bucket=250)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+
+
+def test_interval_point_join_pathological_span_raises(spark):
+    import pytest
+    from rdf_converter_spark.operators.events import interval_point_join
+
+    idf = spark.createDataFrame(
+        [(1, 0, 10_000_000)], "iid long, start long, end long")
+    pdf = spark.createDataFrame([(1, 5)], "pid long, t long")
+    with pytest.raises(Exception, match="interval_point_join"):
+        interval_point_join(idf, pdf, bucket=10, max_buckets=100).collect()
