@@ -213,3 +213,31 @@ def to_turtle_distributed(triples: DataFrame, path: str) -> None:
     tools that stream N-Triples); no driver materialization."""
     lines = triples.select(nt_line().alias("value"))
     lines.sortWithinPartitions("value").write.mode("overwrite").text(path)
+
+
+def nq_line(subj="subj", pred="pred", obj="obj", obj_is_uri="obj_is_uri",
+            obj_lang="obj_lang", obj_datatype="obj_datatype",
+            graph="graph"):
+    """One N-Quads statement over the 6-column triple schema plus a
+    ``graph`` column: ``<s> <p> o <g> .`` — a NULL graph emits the
+    plain triple form (default graph), so a quad table with mixed
+    provenance round-trips losslessly through
+    ``sources/rdf.py:parse_nquads``."""
+    from pyspark.sql import functions as F
+
+    body = nt_line(subj, pred, obj, obj_is_uri, obj_lang, obj_datatype)
+    # nt_line ends in ' .'; splice the graph term before the dot
+    # rather than re-deriving the object serialization
+    stem = F.substring(body, 1, F.length(body) - 2)
+    return F.when(
+        F.col(graph).isNull(), body
+    ).otherwise(
+        F.concat(stem, F.lit(" <"), F.col(graph), F.lit("> .")))
+
+
+def to_nquads_distributed(quads: DataFrame, path: str) -> None:
+    """Scale path for named-graph exports: one sorted text part per
+    partition, graph term per line — the interchange format Spark can
+    both write and re-read line-parallel (see ``sources/rdf.py``)."""
+    lines = quads.select(nq_line().alias("value"))
+    lines.sortWithinPartitions("value").write.mode("overwrite").text(path)

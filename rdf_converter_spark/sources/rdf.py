@@ -132,3 +132,76 @@ def read_ntriples(
     """``spark.read.text`` + ``parse_ntriples`` — each 128 MB text
     split parses independently."""
     return parse_ntriples(spark.read.text(path), on_error=on_error)
+
+
+# N-Quads: the object is matched STRUCTURALLY (a complete IRI or
+# literal term) so the optional trailing graph IRI is unambiguous —
+# a lazy free-form object group could otherwise donate '<o>' of a
+# graphless line to the graph slot, or split a literal containing
+# ' <x>' at the wrong quote.
+_NQ_LINE = (
+    r'^\s*<([^>]*)>\s*<([^>]*)>\s*'
+    r'(<[^>]*>|"(?:[^"\\]|\\.)*"(?:@[A-Za-z][A-Za-z0-9-]*|\^\^<[^>]*>)?)'
+    r'(?:\s+<([^>]*)>)?\s*\.\s*$'
+)
+
+
+def parse_nquads(
+    lines: DataFrame, column: str = "value", on_error: str = "raise"
+) -> DataFrame:
+    """Parse N-Quads lines into the 6-column triple table plus a
+    ``graph`` column (NULL = default graph, i.e. a plain N-Triples
+    line — N-Quads is a strict superset, so this reader subsumes
+    ``parse_ntriples`` for mixed dumps). Same split as the NT reader:
+    structure and clean literals stay JVM-side; only literals that
+    actually contain an escape cross into the Arrow unescape kernel.
+    """
+    if on_error not in ("raise", "drop"):
+        raise ValueError("on_error must be 'raise' or 'drop'")
+    src = F.col(column)
+    content = lines.filter(
+        (F.trim(src) != "") & ~F.trim(src).startswith("#"))
+    parts = content.select(
+        src.alias("_line"),
+        src.rlike(_NQ_LINE).alias("_ok"),
+        F.regexp_extract(src, _NQ_LINE, 1).alias("subj"),
+        F.regexp_extract(src, _NQ_LINE, 2).alias("pred"),
+        F.regexp_extract(src, _NQ_LINE, 3).alias("_obj"),
+        F.nullif(F.regexp_extract(src, _NQ_LINE, 4), F.lit(""))
+        .alias("graph"),
+    )
+    is_uri = F.col("_obj").rlike(_URI_OBJ)
+    raw_lit = F.regexp_extract(F.col("_obj"), _LIT_OBJ, 1)
+    lit = F.when(
+        raw_lit.contains("\\"), _unescape_udf(raw_lit)
+    ).otherwise(raw_lit)
+    parsed = parts.select(
+        "_line",
+        "_ok",
+        "subj",
+        "pred",
+        F.when(is_uri, F.regexp_extract(F.col("_obj"), _URI_OBJ, 1))
+        .otherwise(lit).alias("obj"),
+        is_uri.alias("obj_is_uri"),
+        F.nullif(F.regexp_extract(F.col("_obj"), _LIT_OBJ, 2), F.lit(""))
+        .alias("obj_lang"),
+        F.nullif(F.regexp_extract(F.col("_obj"), _LIT_OBJ, 3), F.lit(""))
+        .alias("obj_datatype"),
+        "graph",
+    )
+    if on_error == "raise":
+        guarded = parsed.filter(F.assert_true(
+            F.col("_ok"),
+            F.concat(F.lit("malformed N-Quads line: "), F.col("_line")),
+        ).isNull())
+    else:
+        guarded = parsed.filter(F.col("_ok"))
+    return guarded.drop("_line", "_ok")
+
+
+def read_nquads(
+    spark: SparkSession, path: str, on_error: str = "raise"
+) -> DataFrame:
+    """``spark.read.text`` + ``parse_nquads`` — line-parallel like
+    the NT reader."""
+    return parse_nquads(spark.read.text(path), on_error=on_error)

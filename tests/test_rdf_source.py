@@ -104,3 +104,60 @@ def test_parse_is_jvm_side_except_escape_kernel(spark):
     # no row-at-a-time Python anywhere; the only Python is the Arrow
     # escape kernel, gated behind a contains-backslash branch
     assert "BatchEvalPython" not in plan
+
+
+QSCHEMA = SCHEMA + ", graph string"
+
+
+def test_parse_nquads_forms_and_ambiguity(spark):
+    from rdf_converter_spark.sources.rdf import parse_nquads
+
+    out = parse_nquads(_lines(spark, [
+        '<http://x/s> <http://x/p> <http://x/o> .',                # triple
+        '<http://x/s> <http://x/p> <http://x/o> <http://g/1> .',   # quad
+        '<http://x/s> <http://x/p> "lit with <g> inside" .',       # bait
+        '<http://x/s> <http://x/p> "v"@en <http://g/2> .',
+        '<http://x/s> <http://x/p> "a\\nb" <http://g/3> .',
+        '# comment', '   ',
+    ])).collect()
+    got = {(r.obj, r.obj_is_uri, r.obj_lang, r.graph) for r in out}
+    assert got == {
+        ("http://x/o", True, None, None),          # graph NOT stolen
+        ("http://x/o", True, None, "http://g/1"),
+        ("lit with <g> inside", False, None, None),
+        ("v", False, "en", "http://g/2"),
+        ("a\nb", False, None, "http://g/3"),
+    }
+
+
+def test_parse_nquads_malformed(spark):
+    from rdf_converter_spark.sources.rdf import parse_nquads
+
+    bad = _lines(spark, [
+        '<http://x/s> <http://x/p> <http://x/o> <http://g> extra .',
+        '<http://x/s> <http://x/p> "unclosed .',
+    ])
+    assert parse_nquads(bad, on_error="drop").collect() == []
+    with pytest.raises(Exception, match="malformed N-Quads"):
+        parse_nquads(bad, on_error="raise").collect()
+
+
+def test_nquads_roundtrip_with_distributed_writer(spark, tmp_path):
+    from rdf_converter_spark.operators.export import to_nquads_distributed
+    from rdf_converter_spark.sources.rdf import read_nquads
+
+    rows = [
+        ("http://x/a", "http://x/p", 'sal\tut\n"q" \\ fin', False,
+         None, None, "http://g/a"),
+        ("http://x/a", "http://x/q", "http://x/b", True, None, None,
+         None),  # default graph -> plain triple line
+        ("http://x/a", "http://x/r", "bonjour", False, "fr", None,
+         "http://g/b"),
+        ("http://x/a", "http://x/s", "42", False, None,
+         "http://www.w3.org/2001/XMLSchema#integer", "http://g/a"),
+    ]
+    src = spark.createDataFrame(rows, QSCHEMA)
+    out = str(tmp_path / "nq")
+    to_nquads_distributed(src, out)
+    back = read_nquads(spark, out)
+    assert {tuple(r) for r in back.collect()} == set(rows)
