@@ -2485,6 +2485,190 @@ def kg_web_pipeline(spark, sf_dir):
     )
 
 
+def _crawl_urls(docs):
+    """Deterministic crawl URLs over a 7x13 subdomain.domain host
+    grid; the uppercase SUB label exercises host lowercasing. Both
+    engines synthesize the identical string."""
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("http://SUB"), (F.col("doc_id") % 7).cast("string"),
+            F.lit(".dom"), (F.col("doc_id") % 13).cast("string"),
+            F.lit(".example/p/"), F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+
+
+_CRAWL_URLS_SQL = (
+    "SELECT doc_id, 'http://SUB' || CAST(doc_id %% 7 AS VARCHAR)"
+    " || '.dom' || CAST(doc_id %% 13 AS VARCHAR)"
+    " || '.example/p/' || CAST(doc_id AS VARCHAR) AS url"
+    " FROM documents%s"
+)
+
+
+def _host_re_sql() -> str:
+    """The urlkit host pattern verbatim (RE2, no quotes to escape) —
+    one shared spec for both engines."""
+    from rdf_converter_spark.operators.urlkit import HOST_RE
+
+    return HOST_RE
+
+
+_HOST_RE_SQL = _host_re_sql()
+
+
+def _anchor_texts_oracle() -> str:
+    """Per-href rollup over the SAME link extraction CTEs as the
+    html_links oracle (shared pattern + strip chain)."""
+    from rdf_converter_spark.operators.htmlkit import (
+        ANCHOR_RE, html_strip_sql,
+    )
+
+    return """
+WITH pages AS (
+  SELECT 'http://site/' || doc_id::VARCHAR AS src_url,
+         '<html><body><a href="http://site/'
+           || ((doc_id + 1) %% 1000)::VARCHAR
+           || '">Doc &amp; <b>' || ((doc_id + 1) %% 1000)::VARCHAR
+           || '</b></a><p>no link</p><A HREF="http://ext/'
+           || (doc_id %% 7)::VARCHAR || '?utm_source=x">ext '
+           || (doc_id %% 7)::VARCHAR || '</A></body></html>' AS html_text
+  FROM documents
+), m AS (
+  SELECT src_url,
+         unnest(list_zip(regexp_extract_all(html_text, '%s', 1),
+                         regexp_extract_all(html_text, '%s', 2))) AS z
+  FROM pages
+), links AS (
+  SELECT src_url, z[1] AS href, %s AS anchor FROM m
+), pa AS (
+  SELECT href, anchor, count(*) AS cnt FROM links GROUP BY href, anchor
+), top AS (
+  SELECT href, anchor AS top_anchor FROM (
+    SELECT href, anchor, row_number() OVER (
+      PARTITION BY href ORDER BY cnt DESC, anchor ASC) AS rn
+    FROM pa) WHERE rn = 1
+), tot AS (
+  SELECT href, count(*) AS n_links,
+         count(DISTINCT src_url) AS n_sources,
+         count(DISTINCT anchor) AS n_anchors
+  FROM links GROUP BY href
+)
+SELECT t.href, n_links, n_sources, n_anchors, top_anchor
+FROM tot t JOIN top USING (href)
+ORDER BY href
+""" % (ANCHOR_RE, ANCHOR_RE, html_strip_sql("z[2]"))
+
+
+def q_domain_quota(spark, sf_dir):
+    """Per-host document cap (operators/curation.py:
+    domain_quota_sample) — crawl-side rebalancing twin of the
+    language quota: each of the 91 synthetic hosts keeps exactly 5
+    docs under the content-keyed md5 order."""
+    from rdf_converter_spark.operators.curation import domain_quota_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return domain_quota_sample(
+        _crawl_urls(docs), quota=5
+    ).orderBy("doc_id")
+
+
+def q_blocklist_filter(spark, sf_dir):
+    """Suffix-semantics domain blocklist (operators/curation.py:
+    blocklist_filter): a rule blocks its host and every subdomain;
+    the matched rule reported is the most specific one. Corpus side
+    is never shuffled — rule table broadcast both ways."""
+    from rdf_converter_spark.operators.curation import blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    rules = spark.createDataFrame(
+        [("dom1.example",), ("dom4.example",), ("sub2.dom5.example",)],
+        "domain string",
+    )
+    return blocklist_filter(_crawl_urls(docs), rules).orderBy("doc_id")
+
+
+def q_doc_chunks(spark, sf_dir):
+    """Sliding-window chunker (operators/curation.py:doc_chunks):
+    16-word windows every 12 words, tail clamped — map-only array
+    expressions, no UDF/shuffle."""
+    from rdf_converter_spark.operators.curation import doc_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    return doc_chunks(docs, size=16, stride=12).orderBy(
+        "doc_id", "chunk_no")
+
+
+def q_anchor_texts(spark, sf_dir):
+    """Anchor-text profile per link target (operators/htmlkit.py:
+    anchor_texts) — the corpus-scale surface-form aggregation for
+    entity aliasing: in-link counts, distinct sources/anchors and the
+    dominant anchor with a deterministic (count desc, anchor asc)
+    tie-break. Same synthetic pages as q_html_links."""
+    from rdf_converter_spark.operators.htmlkit import anchor_texts
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    pages = docs.select(
+        F.concat(F.lit("http://site/"), did).alias("url"),
+        F.concat(
+            F.lit('<html><body><a href="http://site/'),
+            ((F.col("doc_id") + 1) % 1000).cast("string"),
+            F.lit('">Doc &amp; <b>'),
+            ((F.col("doc_id") + 1) % 1000).cast("string"),
+            F.lit('</b></a><p>no link</p><A HREF="http://ext/'),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit('?utm_source=x">ext '),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("</A></body></html>"),
+        ).alias("html_text"),
+    )
+    return anchor_texts(pages).orderBy("href")
+
+
+def q_label_prop(spark, sf_dir):
+    """Deterministic synchronous label propagation (operators/
+    graph.py:label_propagation) on the standard link graph; the
+    oracle unrolls the identical min-tie-break recurrence."""
+    from rdf_converter_spark.operators.graph import (
+        label_propagation, link_edges,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return label_propagation(link_edges(docs), iters=4).orderBy("node")
+
+
+def _label_prop_oracle(iters: int = 4) -> str:
+    """Unrolled LPA recurrence: per round, (node, label) neighbor
+    counts from the symmetrized edge list, argmax by (cnt desc,
+    label asc) — the same deterministic rule the Spark loop's
+    max_by((cnt, -label)) struct encodes."""
+    parts = [
+        "WITH " + _LINK_EDGES.strip() + ",",
+        """und AS (SELECT DISTINCT src, dst FROM (
+               SELECT src, dst FROM edges
+               UNION ALL SELECT dst, src FROM edges)),
+           l0 AS (SELECT DISTINCT src AS node, src AS label FROM und),""",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(
+            """c{k} AS (SELECT e.dst AS node, l.label, count(*) AS cnt
+                   FROM und e JOIN l{p} l ON l.node = e.src
+                   GROUP BY e.dst, l.label),
+               l{k} AS (SELECT node, label FROM (
+                   SELECT node, label, row_number() OVER (
+                     PARTITION BY node
+                     ORDER BY cnt DESC, label ASC) AS rn
+                   FROM c{k}) WHERE rn = 1){comma}""".format(
+                k=k, p=k - 1, comma="," if k < iters else ""
+            )
+        )
+    parts.append(
+        "SELECT node, label FROM l%d ORDER BY node" % iters)
+    return "\n".join(parts)
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2586,6 +2770,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sequence_pack": q_sequence_pack,
         "khop_neighborhood": q_khop,
         "snapshot_diff": q_snapshot_diff,
+        "domain_quota_sample": q_domain_quota,
+        "blocklist_filter": q_blocklist_filter,
+        "doc_chunks": q_doc_chunks,
+        "anchor_texts": q_anchor_texts,
+        "label_propagation": q_label_prop,
     }
 
 
@@ -3740,4 +3929,73 @@ def oracle_sql() -> dict[str, str]:
                       * (8 + doc_id % 8) AS n_bytes
             FROM documents ORDER BY media_id
         """,
+        "domain_quota_sample": """
+            WITH d AS (%s),
+            h AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url, '%s', 1)) AS host
+              FROM d
+            ),
+            r AS (
+              SELECT doc_id, url, host, row_number() OVER (
+                PARTITION BY host
+                ORDER BY md5(CAST(doc_id AS VARCHAR) || '|v1'), doc_id
+              ) AS rk FROM h
+            )
+            SELECT doc_id, url, host FROM r WHERE rk <= 5
+            ORDER BY doc_id
+        """ % (_CRAWL_URLS_SQL % "", _HOST_RE_SQL),
+        "blocklist_filter": """
+            WITH d AS (%s),
+            h AS (
+              SELECT doc_id, url,
+                     lower(regexp_extract(url, '%s', 1)) AS host
+              FROM d
+            ),
+            p AS (SELECT doc_id, string_split(host, '.') AS ps FROM h),
+            sfx AS (
+              SELECT doc_id,
+                     unnest(list_transform(
+                       range(1, len(ps) + 1),
+                       i -> array_to_string(ps[i:len(ps)], '.')
+                     )) AS rule
+              FROM p
+            ),
+            rules AS (SELECT * FROM (VALUES ('dom1.example'),
+                      ('dom4.example'), ('sub2.dom5.example')) t(rule)),
+            hits AS (
+              SELECT doc_id, arg_max(s.rule, length(s.rule)) AS rule
+              FROM sfx s JOIN rules r ON r.rule = s.rule
+              GROUP BY doc_id
+            )
+            SELECT h.doc_id, h.url, h.host,
+                   hits.rule IS NOT NULL AS blocked, hits.rule AS rule
+            FROM h LEFT JOIN hits USING (doc_id)
+            ORDER BY h.doc_id
+        """ % (_CRAWL_URLS_SQL % " WHERE doc_id < 400", _HOST_RE_SQL),
+        # same empty-token filter as the engine: split('') == ['']
+        # must chunk to nothing, and multi-space gaps to no tokens
+        "doc_chunks": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     list_filter(
+                       regexp_split_to_array(trim(text), '\s+'),
+                       x -> x <> '') AS ws
+              FROM documents
+            ),
+            s AS (
+              SELECT doc_id, len(ws) AS n_words, ws,
+                     unnest(range(0, greatest(len(ws) - 16, 0) + 1, 12))
+                       AS st
+              FROM w WHERE len(ws) > 0
+            )
+            SELECT doc_id,
+                   CAST(n_words AS INT) AS n_words,
+                   CAST(st // 12 AS INT) AS chunk_no,
+                   array_to_string(ws[st+1:st+16], ' ') AS chunk,
+                   CAST(len(ws[st+1:st+16]) AS INT) AS chunk_words
+            FROM s ORDER BY doc_id, chunk_no
+        """,
+        "label_propagation": _label_prop_oracle(4),
+        "anchor_texts": _anchor_texts_oracle(),
     }

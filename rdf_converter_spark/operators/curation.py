@@ -293,3 +293,115 @@ def boilerplate_strip(
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("new_text", F.lit("")).alias("new_text"),
     )
+
+
+def domain_quota_sample(
+    pages: DataFrame,
+    quota: int = 50,
+    url_col: str = "url",
+    key: str = "doc_id",
+    salt: str = "v1",
+) -> DataFrame:
+    """Per-host document cap — the crawl-side twin of
+    :func:`lang_quota_sample`: a head domain with 10^7 pages
+    contributes exactly ``quota`` documents to the training mix
+    (the RefinedWeb / C4 per-domain balancing pass). Selection within
+    a host is the same content-keyed md5 order used everywhere in
+    this module, so the kept set is stable under corpus growth and
+    across engines. ONE exchange (hash partition by host for the
+    window); hosts are a crawl's natural partition key, and a
+    pathological mega-host is the AQE skew case, not a planner
+    problem."""
+    from rdf_converter_spark.operators.urlkit import host_of
+
+    with_host = pages.withColumn("host", host_of(F.col(url_col)))
+    w = Window.partitionBy("host").orderBy(
+        F.md5(F.concat(F.col(key).cast("string"), F.lit("|" + salt))),
+        F.col(key),
+    )
+    return (
+        with_host.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= quota)
+        .drop("_rk")
+    )
+
+
+def blocklist_filter(
+    pages: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+) -> DataFrame:
+    """Domain blocklist with suffix semantics: a rule ``tracker.com``
+    blocks that host AND every subdomain (``ads.tracker.com``) — the
+    standard crawl-hygiene list shape (adult/malware/SEO-spam hosts).
+
+    Plan shape (100 TB lens): the corpus side expands each URL to its
+    host's dot-suffix chain (bounded by label count, ~4-6 entries —
+    an array expression, not a join fan-out), explodes once, and
+    semi-joins the BROADCAST rule table; the rule hit list then
+    left-joins back to the input on the page key. The petabyte side
+    is scanned twice but never shuffled on data keys (both joins are
+    broadcast); no LIKE-cartesian anywhere.
+
+    Returns every input row + ``(host, blocked, rule)`` where
+    ``rule`` is the most specific (longest) matching blocklist entry,
+    NULL when clean."""
+    from rdf_converter_spark.operators.urlkit import host_of, host_suffixes
+
+    with_host = pages.withColumn("host", host_of(F.col(url_col)))
+    cand = with_host.select(
+        url_col,
+        F.explode(host_suffixes(F.col("host"))).alias("rule"),
+    )
+    rules = blocklist.select(F.col("domain").alias("rule")).distinct()
+    hits = (
+        cand.join(F.broadcast(rules), "rule")
+        .groupBy(url_col)
+        .agg(F.max_by("rule", F.length("rule")).alias("rule"))
+    )
+    return with_host.join(F.broadcast(hits), url_col, "left").select(
+        *pages.columns, "host",
+        F.col("rule").isNotNull().alias("blocked"),
+        "rule",
+    )
+
+
+def doc_chunks(
+    docs: DataFrame,
+    size: int = 32,
+    stride: int = 24,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG/embedding-prep
+    primitive: fixed ``size``-word windows every ``stride`` words
+    (overlap = size - stride), final window clamped to the document
+    tail. Start offsets are ``sequence(0, max(n-size, 0), stride)``
+    so every word is covered and a short doc yields exactly one
+    chunk; empty/whitespace docs yield none.
+
+    Entirely array expressions (split -> sequence -> transform ->
+    explode): no UDF, no shuffle — at 100 TB this is a map-only pass
+    whose output is written partition-aligned with its input, and
+    chunk identity (id, chunk_no) is deterministic for downstream
+    embedding joins."""
+    if stride <= 0 or size <= 0:
+        raise ValueError("size and stride must be positive")
+    words = F.filter(
+        F.split(F.trim(F.col(text_col)), r"\s+"), lambda x: x != ""
+    )
+    n = F.size(words)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - size, F.lit(0)), F.lit(stride)
+    )
+    chunk = F.posexplode(
+        F.transform(starts, lambda s: F.array_join(
+            F.slice(words, s + 1, size), " "))
+    )
+    out = docs.filter(n > 0).select(
+        F.col(id_col), n.alias("n_words"), chunk.alias("chunk_no", "chunk")
+    )
+    return out.select(
+        id_col, "n_words", "chunk_no", "chunk",
+        F.size(F.split(F.col("chunk"), r"\s+")).alias("chunk_words"),
+    )

@@ -236,3 +236,44 @@ def khop_neighborhood(
     for layer in layers[1:]:
         out = out.unionByName(layer)
     return out
+
+
+def label_propagation(edges: DataFrame, iters: int = 4) -> DataFrame:
+    """Synchronous label propagation (community detection): labels
+    start as node ids; each round every node adopts the most frequent
+    label among its (undirected) neighbors, ties broken by the
+    SMALLEST label — fully deterministic, unlike classic async LPA,
+    so the DuckDB oracle unrolls the identical recurrence CTE by CTE.
+
+    Per iteration: join the symmetrized edge list to current labels
+    on the source endpoint (one shuffle), count (node, label) with a
+    partial-aggregated groupBy, then pick argmax via ``max_by`` over
+    a (cnt, -label) struct — no row_number window, so the round is
+    exactly two exchanges both keyed on node. Labels are
+    localCheckpointed per round (flat lineage, cc.py discipline).
+    Hub nodes are the AQE skew case. Returns (node, label)."""
+    und = (
+        edges.select("src", "dst")
+        .unionAll(edges.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")))
+        .dropDuplicates()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("src").alias("node"))
+        .dropDuplicates()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iters):
+        labels = (
+            und.join(labels.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+            .groupBy("node")
+            .agg(F.max_by(
+                "label", F.struct(F.col("cnt"), -F.col("label"))
+            ).alias("label"))
+            .localCheckpoint(eager=True)
+        )
+    return labels

@@ -33,7 +33,7 @@ cases linear.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # (pattern, replacement) applied in order; (?is) = case-insensitive +
@@ -137,3 +137,42 @@ def html_links(
             html_strip(F.col("a.body")).alias("anchor"),
         )
     )
+
+
+def anchor_texts(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html_text",
+) -> DataFrame:
+    """Aggregate the anchor-text profile of every link target — the
+    KG-construction step after :func:`html_links`: across the crawl,
+    the texts other pages use to link to a URL are its candidate
+    entity surface forms (the classic Wikipedia-anchor supervision
+    for the alias dictionary in ``operators/linker.py``).
+
+    Per target ``href``: total in-links, distinct source pages,
+    distinct anchor strings, and the dominant anchor (most frequent;
+    ties broken by lexicographically smallest anchor so the result is
+    engine-portable). Plan shape: the (href, anchor) count is a
+    partial-aggregated groupBy; the per-href rollup aggregates THAT
+    (already collapsed) table plus a distinct-source count — every
+    exchange is on href, link-spam hub targets are the AQE skew case.
+    No driver collection, no UDF."""
+    links = html_links(pages, url_col=url_col, html_col=html_col)
+    per_anchor = links.groupBy("href", "anchor").agg(
+        F.count("*").alias("cnt"),
+    )
+    w = Window.partitionBy("href").orderBy(
+        F.col("cnt").desc(), F.col("anchor").asc()
+    )
+    top = (
+        per_anchor.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select("href", F.col("anchor").alias("top_anchor"))
+    )
+    totals = links.groupBy("href").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("src_url").alias("n_sources"),
+        F.countDistinct("anchor").alias("n_anchors"),
+    )
+    return totals.join(top, "href")

@@ -95,9 +95,21 @@ def shacl_report(
                     "unsupported SHACL constraints %s in %r"
                     % (sorted(unknown), prop))
 
+            # SHACL validates a data GRAPH — a SET of triples. The
+            # engine's quad tables legitimately repeat one (s,p,o)
+            # per named graph it appears in (pa/ld/ld_sujets...), so
+            # counting ROWS would report maxCount violations for
+            # values that are one node in the merged graph: dedup
+            # the path slice on (subj + value identity) first. The
+            # distinct runs on the pred-filtered slice only, never
+            # the full table.
+            value_cols = [c for c in ("obj", "obj_is_uri", "obj_lang",
+                                      "obj_datatype") if c in t.columns]
             vals = (
                 t.filter(F.col("pred") == path)
-                .join(focus, t.subj == focus.focus)
+                .select("subj", *value_cols)
+                .dropDuplicates(["subj"] + value_cols)
+                .join(focus, F.col("subj") == focus.focus)
             )
             if "min_count" in prop or "max_count" in prop:
                 counts = (

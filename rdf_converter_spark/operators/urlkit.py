@@ -59,3 +59,30 @@ def url_dedup(df: DataFrame, url_col: str = "url",
             F.count("*").alias("n_variants"),
         )
     )
+
+
+# host = authority minus port/userinfo, lowercased. One extract, no
+# UDF; the same RE2 pattern runs verbatim in the DuckDB oracle.
+HOST_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)"
+
+
+def host_of(u: Column) -> Column:
+    """Registered host of a URL (lowercase; empty string when the
+    value has no scheme://authority shape — callers treat that as
+    'no host', mirroring crawl frontier behavior)."""
+    return F.lower(F.regexp_extract(u, HOST_RE, 1))
+
+
+def host_suffixes(host: Column) -> Column:
+    """All dot-suffixes of a host, most-specific first:
+    ``a.b.c -> [a.b.c, b.c, c]`` — the key shape for suffix-rule
+    blocklists (block ``tracker.com`` and every subdomain). A pure
+    array expression (split + transform over a sequence), so the
+    corpus side never explodes more than its suffix count and no
+    Python runs."""
+    parts = F.split(host, r"\.")
+    n = F.size(parts)
+    return F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.array_join(F.slice(parts, i + 1, n), "."),
+    )

@@ -92,3 +92,31 @@ def test_no_cartesian_no_window(triples):
     plan = rep._jdf.queryExecution().executedPlan().toString()
     assert "Cartesian" not in plan
     assert "Window" not in plan
+
+
+def test_named_graph_duplicates_count_once(spark):
+    """A triple repeated across named graphs (pa/ld/...) is ONE value
+    in the merged data graph: maxCount must not fire on quad
+    multiplicity (the job.py deployment regression), while a REAL
+    second value still does."""
+    rows = [
+        ("c1", RDF_TYPE, "Channel", True, None, None, "pa"),
+        ("c1", RDF_TYPE, "Channel", True, None, None, "ld"),
+        ("c1", "id", "C1", False, None, None, "pa"),
+        ("c1", "id", "C1", False, None, None, "ld"),
+        ("c1", "id", "C1", False, None, None, "ld_sujets"),
+        ("c2", RDF_TYPE, "Channel", True, None, None, "pa"),
+        ("c2", "id", "C2", False, None, None, "pa"),
+        ("c2", "id", "c2-alt", False, None, None, "pa"),  # real dup
+    ]
+    quads = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_uri boolean,"
+        " obj_lang string, obj_datatype string, graph string",
+    )
+    rep = shacl_report(quads, [{
+        "shape": "ChannelShape", "target_class": "Channel",
+        "property": [{"path": "id", "min_count": 1, "max_count": 1}],
+    }]).collect()
+    assert [(r["focus"], r["constraint"], r["value"]) for r in rep] == [
+        ("c2", "maxCount", "2")]
