@@ -359,6 +359,81 @@ ORDER BY order_uri, val
 """ % _KG_TPCH_ORACLE
 
 
+def q_path_star(spark, sf_dir):
+    """Zero-or-more property path (operators/paths.py): ``(nation|
+    region)*`` over the customer->nation->region subgraph. Star =
+    iterative-doubling closure UNION the identity relation over the
+    subgraph's node universe (SPARQL zero-length-path semantics);
+    passing the pred-filtered subgraph bounds the universe
+    deliberately, as the module docstring prescribes for scale."""
+    from rdf_converter_spark.operators.paths import path_match
+
+    o = "http://kg.test/ontology#"
+    kg = _kg_tpch_unordered(spark, sf_dir)
+    kgf = kg.filter(F.col("pred").isin([o + "nation", o + "region"]))
+    out = path_match(kgf, "?x", "(<%snation>|<%sregion>)*" % (o, o), "?y")
+    return out.select(
+        F.col("x").alias("src"), F.col("y").alias("dst"),
+    ).orderBy("src", "dst")
+
+
+_PATH_STAR_ORACLE = """
+WITH RECURSIVE kg AS (%s),
+e AS (
+  SELECT subj, obj FROM kg
+  WHERE pred IN ('http://kg.test/ontology#nation',
+                 'http://kg.test/ontology#region')
+),
+nodes AS (SELECT subj AS n FROM e UNION SELECT obj FROM e),
+closure AS (
+  SELECT subj, obj FROM e
+  UNION
+  SELECT c.subj, e.obj FROM closure c JOIN e ON e.subj = c.obj
+)
+SELECT src, dst FROM (
+  SELECT n AS src, n AS dst FROM nodes
+  UNION
+  SELECT subj, obj FROM closure
+)
+ORDER BY src, dst
+""" % _KG_TPCH_ORACLE
+
+
+def q_path_nps(spark, sf_dir):
+    """Negated property set (operators/paths.py): ``!(region|
+    ^region)`` on the same subgraph — forward edges whose predicate
+    is outside the forward members unioned with reversed edges
+    outside the inverse members; a NOT-IN scan filter each way,
+    never a join."""
+    from rdf_converter_spark.operators.paths import path_match
+
+    o = "http://kg.test/ontology#"
+    kg = _kg_tpch_unordered(spark, sf_dir)
+    kgf = kg.filter(F.col("pred").isin([o + "nation", o + "region"]))
+    out = path_match(kgf, "?a", "!(<%sregion>|^<%sregion>)" % (o, o), "?b")
+    return out.select(
+        F.col("a").alias("src"), F.col("b").alias("dst"),
+    ).orderBy("src", "dst")
+
+
+_PATH_NPS_ORACLE = """
+WITH kg AS (%s),
+e AS (
+  SELECT subj, pred, obj FROM kg
+  WHERE pred IN ('http://kg.test/ontology#nation',
+                 'http://kg.test/ontology#region')
+)
+SELECT src, dst FROM (
+  SELECT subj AS src, obj AS dst FROM e
+  WHERE pred NOT IN ('http://kg.test/ontology#region')
+  UNION ALL
+  SELECT obj AS src, subj AS dst FROM e
+  WHERE pred NOT IN ('http://kg.test/ontology#region')
+)
+ORDER BY src, dst
+""" % _KG_TPCH_ORACLE
+
+
 def q_sparql_minus(spark, sf_dir):
     """SPARQL MINUS (operators/bgp.py): customers with their segment,
     minus those whose nation is in EUROPE — the minus group is its
@@ -2669,6 +2744,27 @@ def _label_prop_oracle(iters: int = 4) -> str:
     return "\n".join(parts)
 
 
+def q_inverted_index(spark, sf_dir):
+    """Positional inverted index (operators/index.py): one
+    posexplode + one (term, doc_id) hash aggregate with sorted
+    position lists; min_df=2 drops hapax terms with an aggregate
+    over the already-collapsed index, not the corpus."""
+    from rdf_converter_spark.operators.index import inverted_index
+
+    docs = _t(spark, sf_dir, "documents")
+    return inverted_index(docs, min_df=2).orderBy("term", "doc_id")
+
+
+def q_phrase_search(spark, sf_dir):
+    """Exact phrase search (operators/index.py): postings pruned to
+    the query vocabulary at the scan, then k-1 co-partitioned
+    (doc_id, start-pos) equi-joins align consecutive tokens."""
+    from rdf_converter_spark.operators.index import phrase_search
+
+    docs = _t(spark, sf_dir, "documents")
+    return phrase_search(docs, "join part filter").orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # Contract surface
 # ---------------------------------------------------------------------------
@@ -2691,6 +2787,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_filter_union": q_bgp_filter_union,
         "quad_graphs": q_quad_graphs,
         "path_match": q_path_match,
+        "path_star": q_path_star,
+        "path_nps": q_path_nps,
         "sparql_minus": q_sparql_minus,
         "sparql_exists": q_sparql_exists,
         "sparql_subquery": q_sparql_subquery,
@@ -2775,6 +2873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunks": q_doc_chunks,
         "anchor_texts": q_anchor_texts,
         "label_propagation": q_label_prop,
+        "inverted_index": q_inverted_index,
+        "phrase_search": q_phrase_search,
     }
 
 
@@ -2879,6 +2979,8 @@ def oracle_sql() -> dict[str, str]:
         "bgp_filter_union": _BGP_FILTER_UNION_ORACLE,
         "quad_graphs": _QUAD_GRAPHS_ORACLE,
         "path_match": _PATH_MATCH_ORACLE,
+        "path_star": _PATH_STAR_ORACLE,
+        "path_nps": _PATH_NPS_ORACLE,
         "sparql_minus": _SPARQL_MINUS_ORACLE,
         "sparql_exists": _SPARQL_EXISTS_ORACLE,
         "sparql_subquery": _SPARQL_SUBQUERY_ORACLE,
@@ -3998,4 +4100,42 @@ def oracle_sql() -> dict[str, str]:
         """,
         "label_propagation": _label_prop_oracle(4),
         "anchor_texts": _anchor_texts_oracle(),
+        "inverted_index": """
+            WITH w AS (SELECT doc_id, {w} AS ws FROM documents),
+            p AS (
+              SELECT doc_id, CAST(i AS INT) AS pos, ws[i+1] AS term
+              FROM w, unnest(range(0, len(ws))) AS t(i)
+              WHERE ws[i+1] <> ''
+            ),
+            idx AS (
+              SELECT term, doc_id,
+                     list(pos ORDER BY pos) AS positions,
+                     count(*) AS tf
+              FROM p GROUP BY term, doc_id
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM idx GROUP BY term)
+            SELECT i.term, i.doc_id, i.positions, i.tf
+            FROM idx i JOIN dfreq USING (term)
+            WHERE dfreq.df >= 2
+            ORDER BY term, doc_id
+        """.format(w=_WORDS),
+        "phrase_search": """
+            WITH w AS (SELECT doc_id, {w} AS ws FROM documents),
+            p AS (
+              SELECT doc_id, CAST(i AS INT) AS pos, ws[i+1] AS term
+              FROM w, unnest(range(0, len(ws))) AS t(i)
+              WHERE ws[i+1] <> ''
+            ),
+            t0 AS (SELECT doc_id, pos AS p FROM p WHERE term = 'join'),
+            t1 AS (SELECT doc_id, pos - 1 AS p FROM p WHERE term = 'part'),
+            t2 AS (SELECT doc_id, pos - 2 AS p FROM p WHERE term = 'filter'),
+            m AS (
+              SELECT t0.doc_id, t0.p FROM t0
+              JOIN t1 USING (doc_id, p)
+              JOIN t2 USING (doc_id, p)
+            )
+            SELECT doc_id, count(*) AS n_hits,
+                   CAST(min(p) AS INT) AS first_pos
+            FROM m GROUP BY doc_id ORDER BY doc_id
+        """.format(w=_WORDS),
     }

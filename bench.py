@@ -148,6 +148,18 @@ HEADLINE = [
     "sameas_smush",
     "void_stats",
     "html_strip",
+    "sparql_exists",
+    "sparql_subquery",
+    "interval_join",
+    "domain_quota_sample",
+    "blocklist_filter",
+    "doc_chunks",
+    "anchor_texts",
+    "label_propagation",
+    "path_star",
+    "path_nps",
+    "inverted_index",
+    "phrase_search",
 ]
 
 

@@ -17,15 +17,26 @@ variable. This module evaluates the path algebra relationally:
   ``graph.py:khop_neighborhood``. A corpus-scale ``+`` over a
   10^12-edge relation is a connected-components-shaped job; for
   hierarchies that are *schema-sized* use ``rdfs.transitive_closure``.
-
-``*`` and ``?`` (zero-length paths) are rejected: SPARQL's
-zero-length path relates EVERY graph node to itself, which at
-10^12 triples means materializing the node universe for no
-selectivity — callers wanting reflexivity union it in explicitly.
+- ``p*`` / ``p?`` zero-or-more / zero-or-one -> the ``+`` closure
+  (resp. the step itself) unioned with the identity relation over the
+  node universe of the INPUT triple table (SPARQL's zero-length path
+  relates every term in the graph to itself; a constant endpoint
+  absent from the graph still self-matches, added as a literal row
+  after a pushed-down existence probe). The node universe is one
+  distinct over (subj ∪ obj) — the same cost class as the dedup this
+  engine runs everywhere; when an endpoint is constant, Catalyst
+  pushes the equality into both union branches and the identity side
+  collapses to a point lookup. Pass a pred-filtered subgraph to bound
+  the universe deliberately.
+- ``!(p|^q)`` negated property set -> forward edges whose predicate
+  is NOT IN the forward members, unioned with reversed edges whose
+  predicate is NOT IN the inverse members (each part present only
+  when that direction has members, per the SPARQL 1.1 NPS algebra);
+  a NOT-IN filter on the scan, never a join.
 
 Path syntax: IRIs either bare (no metacharacters) or ``<...>``
 -wrapped (required when the IRI contains ``/``, as http IRIs do);
-metacharacters ``/ | ^ + ( )``; precedence alt < seq < postfix.
+metacharacters ``/ | ^ + * ? ! ( )``; precedence alt < seq < postfix.
 """
 
 from __future__ import annotations
@@ -35,7 +46,7 @@ from typing import List, Tuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_META = "<>()|/^+*?"
+_META = "<>()|/^+*?!"
 
 
 def _tokenize(path: str) -> List[Tuple[str, str]]:
@@ -51,15 +62,9 @@ def _tokenize(path: str) -> List[Tuple[str, str]]:
                 raise ValueError("unterminated '<' in path %r" % path)
             tokens.append(("iri", path[i + 1:j]))
             i = j + 1
-        elif c in "()|/^+":
+        elif c in "()|/^+*?!":
             tokens.append((c, c))
             i += 1
-        elif c in "*?":
-            raise ValueError(
-                "zero-length path operator %r is unsupported (the "
-                "zero-length path relates every node to itself; union "
-                "reflexive pairs in explicitly if needed)" % c
-            )
         else:
             j = i
             while (j < len(path) and path[j] not in _META
@@ -74,7 +79,10 @@ def _tokenize(path: str) -> List[Tuple[str, str]]:
 
 class _Parser:
     """alt := seq ('|' seq)* ; seq := post ('/' post)* ;
-    post := prim '+'? ; prim := '^' prim | '(' alt ')' | IRI"""
+    post := prim ('+'|'*'|'?')* ;
+    prim := '^' prim | '!' npsmembers | '(' alt ')' | IRI ;
+    npsmembers := '(' member ('|' member)* ')' | member ;
+    member := '^'? IRI"""
 
     def __init__(self, tokens):
         self.toks = tokens
@@ -117,9 +125,9 @@ class _Parser:
 
     def post(self):
         node = self.prim()
-        while self.peek() == "+":
-            self.take("+")
-            node = ("plus", node)
+        while self.peek() in ("+", "*", "?"):
+            k, _ = self.take()
+            node = ({"+": "plus", "*": "star", "?": "opt"}[k], node)
         return node
 
     def prim(self):
@@ -127,6 +135,9 @@ class _Parser:
         if k == "^":
             self.take("^")
             return ("inv", self.prim())
+        if k == "!":
+            self.take("!")
+            return self.nps()
         if k == "(":
             self.take("(")
             node = self.alt()
@@ -134,6 +145,27 @@ class _Parser:
             return node
         _, v = self.take("iri")
         return ("iri", v)
+
+    def nps(self):
+        fwd, inv = [], []
+
+        def member():
+            if self.peek() == "^":
+                self.take("^")
+                inv.append(self.take("iri")[1])
+            else:
+                fwd.append(self.take("iri")[1])
+
+        if self.peek() == "(":
+            self.take("(")
+            member()
+            while self.peek() == "|":
+                self.take("|")
+                member()
+            self.take(")")
+        else:
+            member()
+        return ("nps", tuple(fwd) or None, tuple(inv) or None)
 
 
 def _eval(node, triples: DataFrame, max_rounds: int) -> DataFrame:
@@ -164,20 +196,67 @@ def _eval(node, triples: DataFrame, max_rounds: int) -> DataFrame:
             out = e if out is None else out.unionByName(e)
         return out
     if kind == "plus":
-        cur = _eval(node[1], triples, max_rounds).distinct().localCheckpoint()
-        n = cur.count()
-        for _ in range(max_rounds):
-            hop = (cur.alias("a")
-                   .join(cur.alias("b"), F.col("a.obj") == F.col("b.subj"))
-                   .select(F.col("a.subj").alias("subj"),
-                           F.col("b.obj").alias("obj")))
-            nxt = cur.unionByName(hop).distinct().localCheckpoint()
-            m = nxt.count()
-            if m == n:
-                return nxt  # converged: exact unbounded +
-            cur, n = nxt, m
-        return cur  # bounded: paths of length <= 2^max_rounds
+        return _closure(_eval(node[1], triples, max_rounds), max_rounds)
+    if kind in ("star", "opt"):
+        step = _eval(node[1], triples, max_rounds)
+        rel = _closure(step, max_rounds) if kind == "star" else step
+        return rel.unionByName(_identity(triples)).dropDuplicates()
+    if kind == "nps":
+        fwd, inv = node[1], node[2]
+        out = None
+        if fwd is not None:
+            out = (triples.filter(~F.col("pred").isin(list(fwd)))
+                   .select("subj", "obj"))
+        if inv is not None:
+            rev = (triples.filter(~F.col("pred").isin(list(inv)))
+                   .select(F.col("obj").alias("subj"),
+                           F.col("subj").alias("obj")))
+            out = rev if out is None else out.unionByName(rev)
+        return out
     raise AssertionError("unknown path node %r" % (kind,))
+
+
+def _closure(step: DataFrame, max_rounds: int) -> DataFrame:
+    """Transitive closure of ``step`` by iterative doubling; exact
+    when it converges within ``max_rounds``, else bounded at paths of
+    length <= 2^max_rounds (module docstring)."""
+    cur = step.distinct().localCheckpoint()
+    n = cur.count()
+    for _ in range(max_rounds):
+        hop = (cur.alias("a")
+               .join(cur.alias("b"), F.col("a.obj") == F.col("b.subj"))
+               .select(F.col("a.subj").alias("subj"),
+                       F.col("b.obj").alias("obj")))
+        nxt = cur.unionByName(hop).distinct().localCheckpoint()
+        m = nxt.count()
+        if m == n:
+            return nxt  # converged: exact unbounded closure
+        cur, n = nxt, m
+    return cur  # bounded: paths of length <= 2^max_rounds
+
+
+def _identity(triples: DataFrame) -> DataFrame:
+    """The zero-length-path relation: (n, n) for every term in the
+    input table — ONE distinct over subj ∪ obj, the node universe of
+    whatever (possibly pre-filtered) graph the caller passed."""
+    nodes = (triples.select(F.col("subj").alias("n"))
+             .unionByName(triples.select(F.col("obj").alias("n")))
+             .dropDuplicates())
+    return nodes.select(F.col("n").alias("subj"), F.col("n").alias("obj"))
+
+
+def _nullable(node) -> bool:
+    """Does the path accept the zero-length path (ε)?"""
+    kind = node[0]
+    if kind in ("star", "opt"):
+        return True
+    if kind in ("plus", "inv"):
+        return _nullable(node[1])
+    if kind == "seq":
+        return all(_nullable(p) for p in node[1])
+    if kind == "alt":
+        return any(_nullable(p) for p in node[1])
+    return False  # iri, nps
 
 
 def path_match(
@@ -192,9 +271,25 @@ def path_match(
     (``?x``) or constants, with the same binding semantics as
     ``bgp.bgp_match`` patterns (a repeated variable filters for
     equality; at least one variable is required). ``max_rounds``
-    bounds each ``+`` closure at paths of length <= 2^max_rounds
+    bounds each ``+``/``*`` closure at paths of length <= 2^max_rounds
     unless it converges earlier (see module docstring)."""
-    rel = _eval(_Parser(_tokenize(path)).parse(), triples, max_rounds)
+    ast = _Parser(_tokenize(path)).parse()
+    rel = _eval(ast, triples, max_rounds)
+    consts = [t for t in (src, dst)
+              if not (isinstance(t, str) and t.startswith("?"))]
+    if len(consts) == 1 and _nullable(ast):
+        # SPARQL's zero-length path matches a constant endpoint to
+        # itself even when the term is absent from the graph; the
+        # identity relation inside _eval only covers graph terms, so
+        # probe (pushed-down point filter, LocalLimit-1 short
+        # circuit) and add the literal row if missing.
+        c = consts[0]
+        present = (triples.filter((F.col("subj") == c)
+                                  | (F.col("obj") == c))
+                   .limit(1).count() > 0)
+        if not present:
+            rel = rel.unionByName(triples.sparkSession.createDataFrame(
+                [(c, c)], "subj string, obj string"))
     first_col = {}
     order = []
     for col, term in (("subj", src), ("obj", dst)):

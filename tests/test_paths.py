@@ -84,10 +84,59 @@ def test_constant_endpoints_raise(triples):
         path_match(triples, "a", "knows", "b")
 
 
-def test_zero_length_operators_rejected(triples):
-    for bad in ("knows*", "knows?"):
-        with pytest.raises(ValueError, match="zero-length"):
-            path_match(triples, "?x", bad, "?y")
+NODES = sorted({t[0] for t in TRIPLES} | {t[2] for t in TRIPLES})
+
+
+def test_star_includes_identity_and_closure(triples):
+    out = path_match(triples, "?x", "knows*", "?y")
+    got = set(_pairs(out))
+    # zero-length: every term in the graph self-matches (incl. the
+    # literal names — SPARQL's node universe is all terms)
+    assert {(n, n) for n in NODES} <= got
+    # plus-closure on top
+    assert {("a", "b"), ("a", "c"), ("a", "d"), ("b", "d")} <= got
+    assert ("a", "Alice") not in got  # star of knows only
+
+
+def test_star_with_constant_endpoint(triples):
+    out = path_match(triples, "a", "knows*", "?y")
+    assert sorted(r.y for r in out.collect()) == ["a", "b", "c", "d"]
+
+
+def test_star_constant_absent_from_graph_self_matches(triples):
+    out = path_match(triples, "ghost", "knows*", "?y")
+    assert [r.y for r in out.collect()] == ["ghost"]
+    # non-nullable path: absent constant matches nothing
+    out2 = path_match(triples, "ghost", "knows+", "?y")
+    assert out2.count() == 0
+
+
+def test_opt_zero_or_one(triples):
+    out = path_match(triples, "a", "likes?", "?y")
+    assert sorted(r.y for r in out.collect()) == ["a", "d"]
+
+
+def test_seq_with_nullable_tail(triples):
+    # knows/knows* = one-or-more knows
+    out = path_match(triples, "a", "knows/knows*", "?y")
+    assert sorted(r.y for r in out.collect()) == ["b", "c", "d"]
+
+
+def test_negated_property_set_forward(triples):
+    out = path_match(triples, "a", "!(knows|name)", "?y")
+    assert sorted(r.y for r in out.collect()) == ["d"]  # likes only
+
+
+def test_negated_property_set_bare_and_inverse(triples):
+    # bare !p : any forward edge except p
+    out = path_match(triples, "a", "!name", "?y")
+    assert sorted(r.y for r in out.collect()) == ["b", "d"]
+    # inverse-only NPS: ONLY reversed edges, pred not in {likes}
+    out2 = path_match(triples, "b", "!(^likes)", "?y")
+    assert sorted(r.y for r in out2.collect()) == ["a"]
+    # mixed: forward non-knows (name) ∪ reversed non-knows (^likes)
+    out3 = path_match(triples, "d", "!(knows|^knows)", "?y")
+    assert sorted(r.y for r in out3.collect()) == ["Dave", "a"]
 
 
 def test_malformed_paths_raise(triples):
