@@ -1969,6 +1969,23 @@ def q_png_variants(spark, sf_dir):
     return decoded_pixel_digest(media).orderBy("media_id")
 
 
+def q_jpeg_pipeline(spark, sf_dir):
+    """Real baseline-JPEG round trip (operators/jpegkit.py): every
+    document becomes a 4:2:0 Huffman JPEG whose 8x8 blocks are each a
+    constant md5-hex char of the text; Spark walks the markers,
+    entropy-decodes, dequantizes, IDCTs, upsamples chroma and digests
+    the decoded RGB — the oracle reconstructs the same digest purely
+    arithmetically (constant blocks are DC-only, and a DC quantizer
+    of 8 makes the quantized DC exactly v-128, so real lossy-format
+    machinery round-trips losslessly on this input)."""
+    from rdf_converter_spark.operators.multimodal import (
+        decoded_pixel_digest, documents_as_jpeg,
+    )
+
+    media = documents_as_jpeg(_t(spark, sf_dir, "documents"))
+    return decoded_pixel_digest(media).orderBy("media_id")
+
+
 def q_entity_linking(spark, sf_dir):
     from rdf_converter_spark.operators.linker import (
         build_alias_dictionary, entity_links,
@@ -2840,6 +2857,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_headers": q_media_headers,
         "png_pipeline": q_png_pipeline,
         "png_variants": q_png_variants,
+        "jpeg_pipeline": q_jpeg_pipeline,
         "asof_join": q_asof_join,
         "cm_heavy_hitters": q_cm_heavy_hitters,
         "entity_linking": q_entity_linking,
@@ -3222,6 +3240,37 @@ def oracle_sql() -> dict[str, str]:
                           AS INT)
                    )) AS pixel_md5
             FROM documents ORDER BY media_id
+        """,
+        "jpeg_pipeline": """
+            WITH chars AS (
+              SELECT doc_id,
+                     2 + doc_id % 4 AS wb,
+                     1 + doc_id % 3 AS hb,
+                     md5(text) AS hx
+              FROM documents
+            ),
+            rows_ AS (
+              SELECT doc_id, wb, hb, by,
+                     string_agg(
+                       repeat(substr(
+                         hx, CAST((by * wb + bx) % 32 + 1 AS INT), 1
+                       ), 24),
+                       '' ORDER BY bx
+                     ) AS rowstr
+              FROM chars,
+                   unnest(range(0, hb)) t1(by),
+                   unnest(range(0, wb)) t2(bx)
+              GROUP BY doc_id, wb, hb, by
+            )
+            SELECT doc_id AS media_id,
+                   'jpeg' AS fmt,
+                   wb * 8 AS width,
+                   hb * 8 AS height,
+                   md5(string_agg(repeat(rowstr, 8), '' ORDER BY by))
+                     AS pixel_md5
+            FROM rows_
+            GROUP BY doc_id, wb, hb
+            ORDER BY media_id
         """,
         "asof_join": """
             WITH l AS (

@@ -101,6 +101,7 @@ HEADLINE = [
     "media_headers",
     "png_pipeline",
     "png_variants",
+    "jpeg_pipeline",
     "asof_join",
     "cm_heavy_hitters",
     "url_dedup",

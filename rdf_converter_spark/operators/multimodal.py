@@ -363,8 +363,10 @@ def decode_media_header(data: bytes) -> dict:
     """Dispatch on magic bytes; unknown payloads get all-null metadata
     (format None) rather than an error — at crawl scale unparseable
     blobs are data, not exceptions."""
+    from rdf_converter_spark.operators.jpegkit import parse_jpeg_header
+
     for parser in (parse_bmp_header, parse_ppm_header, parse_wav_header,
-                   parse_png_header):
+                   parse_png_header, parse_jpeg_header):
         hdr = parser(data)
         if hdr is not None:
             return {k: hdr.get(k) for k in _META_KEYS}
@@ -377,9 +379,10 @@ def decode_image(data: bytes):
     aligned, bottom-up unless the height is negative), P6 PPM
     (maxval < 256), and non-interlaced PNG (stdlib zlib inflate +
     numpy unfiltering — 8/16-bit gray/RGB/RGBA and 1/2/4/8-bit
-    palette, see decode_png). Anything else (JPEG, interlaced PNG,
-    ...) still raises — the honest slot where PIL would go (codecs
-    not installed here)."""
+    palette, see decode_png), and baseline sequential Huffman JPEG
+    (jpegkit: full entropy decode, IDCT, 4:2:0/4:4:4 upsampling).
+    Progressive/arithmetic JPEG and compressed BMP still raise — the
+    honest slot where PIL would go (codecs not installed here)."""
     import numpy as np
 
     hdr = parse_bmp_header(data)
@@ -406,6 +409,10 @@ def decode_image(data: bytes):
         return raw.reshape(h, w, 3).copy()
     if data[:8] == _PNG_MAGIC:
         return decode_png(data)  # stdlib-zlib inflate + unfilter
+    if data[:2] == b"\xff\xd8":
+        from rdf_converter_spark.operators.jpegkit import decode_jpeg
+
+        return decode_jpeg(data)  # baseline Huffman decode (jpegkit)
     raise NotImplementedError(
         "image codecs not installed in this container"
     )
@@ -743,6 +750,53 @@ def documents_as_png_variants(docs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("media_id"),
         mk("doc_id", "text").alias("media"),
         F.lit("image/png").alias("media_type"),
+    )
+
+
+def documents_as_jpeg(docs: DataFrame) -> DataFrame:
+    """A REAL baseline 4:2:0 Huffman JPEG per document, built so the
+    round trip is BIT-EXACT: the image is a grid of (2 + id % 4) x
+    (1 + id % 3) 8x8 blocks, each a CONSTANT gray pixel equal to one
+    ASCII char of md5-hex(text). A constant block has only a DC
+    coefficient, and with a DC quantizer of 8 the quantized DC is
+    exactly ``v - 128`` — so Spark must run the full decode path
+    (marker walk, Huffman entropy decode, dequantize, IDCT, chroma
+    upsample, YCbCr->RGB) yet lands on arithmetically predictable
+    pixels the oracle reconstructs with no JPEG code (gray content
+    keeps the JFIF color transform lossless: Cb = Cr = 128)."""
+    import numpy as np
+
+    from rdf_converter_spark.operators.jpegkit import (
+        encode_jpeg, quality_tables,
+    )
+
+    ql, qc = (t.copy() for t in quality_tables(90))
+    ql[0] = 8
+    qc[0] = 8
+
+    @F.pandas_udf(T.BinaryType())
+    def mk(ids: pd.Series, texts: pd.Series) -> pd.Series:
+        out = []
+        for i, t in zip(ids, texts):
+            wb, hb = 2 + int(i) % 4, 1 + int(i) % 3
+            seed = hashlib.md5(
+                (t or "").encode("utf-8")
+            ).hexdigest().encode("ascii")
+            reps = (wb * hb) // len(seed) + 1
+            blocks = np.frombuffer(
+                (seed * reps)[: wb * hb], np.uint8
+            ).reshape(hb, wb)
+            img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+            rgb = np.repeat(img[:, :, None], 3, 2)
+            out.append(
+                encode_jpeg(rgb, subsampling="420", quant_tables=(ql, qc))
+            )
+        return pd.Series(out)
+
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        mk("doc_id", "text").alias("media"),
+        F.lit("image/jpeg").alias("media_type"),
     )
 
 

@@ -1,0 +1,115 @@
+# -*- coding: utf-8 -*-
+"""Library-free baseline JPEG codec (operators/jpegkit.py): marker
+walk, Huffman entropy coding, quantization, IDCT, subsampling,
+restarts, refusals — plus the constant-block bit-exactness contract
+the jpeg_pipeline driver query rests on."""
+
+import numpy as np
+import pytest
+
+from rdf_converter_spark.operators.jpegkit import (
+    decode_jpeg, encode_jpeg, parse_jpeg_header, quality_tables,
+)
+
+
+def _dc8_tables():
+    ql, qc = (t.copy() for t in quality_tables(90))
+    ql[0] = 8
+    qc[0] = 8
+    return ql, qc
+
+
+def _const_block_image(wb, hb, seed=0):
+    rng = np.random.RandomState(42 + seed)
+    hexs = np.frombuffer(b"0123456789abcdef", np.uint8)
+    blocks = hexs[rng.randint(0, 16, wb * hb)].reshape(hb, wb)
+    img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
+    return np.repeat(img[:, :, None], 3, 2)
+
+
+def test_constant_blocks_bit_exact_420():
+    # DC-only blocks + DC quantizer 8 -> lossless through the full
+    # lossy pipeline (the jpeg_pipeline oracle contract)
+    rgb = _const_block_image(5, 3)
+    data = encode_jpeg(rgb, subsampling="420", quant_tables=_dc8_tables())
+    assert np.array_equal(decode_jpeg(data), rgb)
+
+
+def test_constant_blocks_bit_exact_gray_and_444():
+    rgb = _const_block_image(3, 2, seed=1)
+    for sub in ("gray", "444"):
+        data = encode_jpeg(rgb, subsampling=sub,
+                           quant_tables=_dc8_tables())
+        assert np.array_equal(decode_jpeg(data), rgb), sub
+
+
+def test_odd_dims_pad_and_crop():
+    # non-MCU-multiple dims: encoder pads with edge replication,
+    # decoder crops back to the SOF dims
+    rgb = _const_block_image(3, 3, seed=2)[:17, :21]
+    data = encode_jpeg(rgb, subsampling="420", quant_tables=_dc8_tables())
+    out = decode_jpeg(data)
+    assert out.shape == (17, 21, 3)
+
+
+def test_header_parse():
+    rgb = _const_block_image(4, 2)
+    hdr = parse_jpeg_header(encode_jpeg(rgb, subsampling="420"))
+    assert (hdr["format"], hdr["width"], hdr["height"],
+            hdr["channels"]) == ("jpeg", 32, 16, 3)
+    assert parse_jpeg_header(b"\x89PNG") is None
+    g = parse_jpeg_header(encode_jpeg(rgb, subsampling="gray"))
+    assert g["channels"] == 1
+
+
+def test_lossy_roundtrip_noise_bounded():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (41, 67, 3)).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsampling="444"))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 40 and err.mean() <= 8  # worst-case input
+
+
+def test_lossy_roundtrip_smooth_tight():
+    yy, xx = np.mgrid[0:48, 0:80]
+    img = np.stack(
+        [(yy * 3) % 256, (xx * 2) % 256, (xx + yy) % 256], 2
+    ).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=85, subsampling="420"))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 16 and err.mean() <= 3
+
+
+def test_restart_markers_do_not_change_pixels():
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (24, 40, 3)).astype(np.uint8)
+    a = decode_jpeg(encode_jpeg(img, quality=90, subsampling="420"))
+    b = decode_jpeg(encode_jpeg(img, quality=90, subsampling="420",
+                                restart_interval=2))
+    assert np.array_equal(a, b)
+
+
+def test_refusals():
+    rgb = _const_block_image(2, 2)
+    data = bytearray(encode_jpeg(rgb, quality=90))
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 1] = 0xC2  # progressive
+    with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(bytes(encode_jpeg(rgb))[: 60])  # truncated
+    with pytest.raises(NotImplementedError):
+        decode_jpeg(b"not a jpeg")
+
+
+def test_decode_image_dispatch():
+    from rdf_converter_spark.operators.multimodal import (
+        decode_image, decode_media_header,
+    )
+
+    rgb = _const_block_image(3, 2)
+    data = encode_jpeg(rgb, subsampling="420", quant_tables=_dc8_tables())
+    assert np.array_equal(decode_image(data), rgb)
+    meta = decode_media_header(data)
+    assert meta["format"] == "jpeg"
+    assert (meta["width"], meta["height"]) == (24, 16)
