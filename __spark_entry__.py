@@ -2538,6 +2538,30 @@ def q_windowed_counts(spark, sf_dir):
     ).orderBy("start_s", "event_type")
 
 
+def q_stream_join(spark, sf_dir):
+    """Batch twin of the watermarked stream-stream interval join
+    (streaming/windows.py:click_purchase_join) — stream==batch
+    equivalence is pytest's gate; this row makes the operator
+    driver-checkable. Timestamps exported as epoch seconds."""
+    from rdf_converter_spark.streaming.windows import click_purchase_join
+
+    ev = _t(spark, sf_dir, "events")
+    out = click_purchase_join(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon_seconds=3600,
+    )
+    return out.select(
+        "click_id",
+        "user_id",
+        F.col("click_ts").cast("timestamp").cast("long").alias("click_s"),
+        "click_value",
+        F.col("purchase_ts").cast("timestamp").cast("long")
+         .alias("purchase_s"),
+        "purchase_value",
+    ).orderBy("click_id", "purchase_s")
+
+
 def q_sessionize(spark, sf_dir):
     """Batch twin of the applyInPandasWithState gap sessionizer."""
     from rdf_converter_spark.streaming.windows import sessionize
@@ -2865,6 +2889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup": q_url_dedup,
         "windowed_counts": q_windowed_counts,
         "sessionize": q_sessionize,
+        "stream_join": q_stream_join,
         "kg_web_pipeline": kg_web_pipeline,
         "graph_degrees": q_graph_degrees,
         "triangle_count": q_triangle_count,
@@ -3729,6 +3754,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT u AS canonical_url, min(doc_id) AS survivor_id,
                    count(*) AS n_variants
             FROM c5 GROUP BY 1 ORDER BY 1
+        """,
+        "stream_join": """
+            WITH c AS (
+              SELECT event_id AS click_id, user_id,
+                     ts AS click_ts, value AS click_value
+              FROM events WHERE event_type = 'click'
+            ), p AS (
+              SELECT user_id, ts AS purchase_ts,
+                     value AS purchase_value
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.click_id, c.user_id,
+                   CAST(floor(epoch(c.click_ts)) AS BIGINT) AS click_s,
+                   c.click_value,
+                   CAST(floor(epoch(p.purchase_ts)) AS BIGINT) AS purchase_s,
+                   p.purchase_value
+            FROM c JOIN p USING (user_id)
+            WHERE p.purchase_ts <= c.click_ts
+              AND p.purchase_ts > c.click_ts - INTERVAL 3600 SECONDS
+            ORDER BY click_id, purchase_s
         """,
         "windowed_counts": """
             SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT)

@@ -112,6 +112,7 @@ HEADLINE = [
     "repetition",
     "windowed_counts",
     "sessionize",
+    "stream_join",
     "graph_degrees",
     "triangle_count",
     "pagerank",

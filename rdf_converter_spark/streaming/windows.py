@@ -256,3 +256,74 @@ def stream_dedup_events(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def click_purchase_join(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon_seconds: int = 3600,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Event-time stream-stream inner join: each click pairs with the
+    same user's purchases inside the trailing ``horizon_seconds``
+    window (purchase at-or-before the click, click - horizon <
+    purchase). On streaming inputs BOTH sides carry a watermark and
+    the join condition bounds event time in both directions, which is
+    exactly what lets Spark expire join state — without the range
+    bound each side's state grows with the whole stream and a
+    10^12-event join OOMs. Batch inputs run the same join verbatim
+    (the watermark is a no-op there), giving the stream==batch twin
+    the tests and the DuckDB oracle pin down.
+    """
+    if clicks.isStreaming:
+        clicks = clicks.withWatermark("ts", watermark)
+        purchases = purchases.withWatermark("ts", watermark)
+    c = clicks.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    p = purchases.select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    cond = (
+        (c["user_id"] == p["p_user"])
+        & (p["purchase_ts"] <= c["click_ts"])
+        & (p["purchase_ts"]
+           > c["click_ts"] - F.expr("INTERVAL %d SECONDS" % horizon_seconds))
+    )
+    return c.join(p, cond, "inner").drop("p_user")
+
+
+def stream_click_purchase_join(
+    spark: SparkSession, events_path: str, out_dir: str,
+    horizon_seconds: int = 3600, watermark: str = "2 hours",
+):
+    """File-stream the events table through the stream-stream join
+    into a memory sink (append; availableNow drains everything). Both
+    sides read the SAME file stream and filter by event_type — the
+    standard fan-out of one source into a self-join."""
+    def reader():
+        return (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", "8")
+            .parquet(events_path)
+        )
+
+    clicks = reader().filter(F.col("event_type") == "click")
+    purchases = reader().filter(F.col("event_type") == "purchase")
+    joined = click_purchase_join(
+        clicks, purchases,
+        horizon_seconds=horizon_seconds, watermark=watermark,
+    )
+    return (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("click_purchase_join")
+        .option("checkpointLocation", out_dir + "/_ssj_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -208,3 +208,41 @@ def test_dedup_events_stream_equals_batch(spark):
         assert len(got) < n_stream_in  # duplicates actually suppressed
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """The watermarked stream-stream interval join, fully drained
+    (availableNow with a generous watermark), must produce exactly the
+    batch join of the same input — inner join rows are emitted as soon
+    as both sides have matched, so no tail is withheld."""
+    from rdf_converter_spark.streaming.windows import (
+        click_purchase_join, stream_click_purchase_join,
+    )
+
+    out = tempfile.mkdtemp(prefix="ssj_")
+    try:
+        q = stream_click_purchase_join(
+            spark, _events_dir(out), out,
+            horizon_seconds=3600, watermark="30 days",
+        )
+        q.awaitTermination(300)
+        got = {
+            tuple(r) for r in spark.sql(
+                "SELECT click_id, user_id, purchase_ts, purchase_value "
+                "FROM click_purchase_join"
+            ).collect()
+        }
+        ev = _events(spark)
+        want = {
+            tuple(r) for r in click_purchase_join(
+                ev.filter(F.col("event_type") == "click"),
+                ev.filter(F.col("event_type") == "purchase"),
+                horizon_seconds=3600,
+            ).select(
+                "click_id", "user_id", "purchase_ts", "purchase_value"
+            ).collect()
+        }
+        assert got == want
+        assert len(want) > 0  # the fixture actually exercises the join
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
