@@ -434,6 +434,123 @@ ORDER BY src, dst
 """ % _KG_TPCH_ORACLE
 
 
+def q_warc_roundtrip(spark, sf_dir):
+    """WARC container round trip (sources/warc.py): two records per
+    document are FORMATTED in-plan (CRLF headers, byte-exact
+    Content-Length) and walked back by the structural record parser.
+    The first payload embeds a fake record boundary
+    (CRLFCRLF + 'WARC/1.0 ...') — a parser that splits on the
+    separator instead of honoring Content-Length emits phantom
+    records and breaks the row count and every digest. The oracle
+    predicts record ids, lengths and payload digests straight from
+    the documents table with zero WARC code."""
+    from rdf_converter_spark.sources.warc import (
+        parse_warc, warc_record_expr,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    p1 = F.concat(
+        F.lit("P:"), F.substring("text", 1, 30),
+        F.lit("\r\n\r\nWARC/1.0 decoy\r\nContent-Length: 3\r\n"),
+    )
+    p2 = F.coalesce(F.col("lang"), F.lit(""))
+    uri = F.concat(F.lit("http://kg.test/doc/"), sid)
+    date = F.lit("2024-01-01T00:00:00Z")
+    blob = F.concat(
+        warc_record_expr(
+            uri, date, p1, F.concat(F.lit("<urn:doc:"), sid, F.lit(">"))
+        ),
+        warc_record_expr(
+            uri, date, p2, F.concat(F.lit("<urn:meta:"), sid, F.lit(">")),
+            warc_type="metadata", content_type="text/plain",
+        ),
+    )
+    recs = parse_warc(docs.select(blob.alias("content")), "content")
+    return recs.select(
+        "record_id", "warc_type", "target_uri", "content_length",
+        F.md5("payload").alias("payload_md5"),
+    ).orderBy("record_id")
+
+
+_WARC_ROUNDTRIP_ORACLE = """
+WITH d AS (
+  SELECT doc_id,
+         'P:' || substr(text, 1, 30)
+           || chr(13) || chr(10) || chr(13) || chr(10)
+           || 'WARC/1.0 decoy' || chr(13) || chr(10)
+           || 'Content-Length: 3' || chr(13) || chr(10) AS p1,
+         coalesce(lang, '') AS p2
+  FROM documents
+)
+SELECT record_id, warc_type, target_uri, content_length, payload_md5
+FROM (
+  SELECT '<urn:doc:' || doc_id || '>' AS record_id,
+         'response' AS warc_type,
+         'http://kg.test/doc/' || doc_id AS target_uri,
+         CAST(strlen(p1) AS BIGINT) AS content_length,
+         md5(p1) AS payload_md5
+  FROM d
+  UNION ALL
+  SELECT '<urn:meta:' || doc_id || '>', 'metadata',
+         'http://kg.test/doc/' || doc_id,
+         CAST(strlen(p2) AS BIGINT), md5(p2)
+  FROM d
+)
+ORDER BY record_id
+"""
+
+
+def q_sparql_bind(spark, sf_dir):
+    """SPARQL BIND (operators/bgp.py): two chained BIND clauses (the
+    second referencing the first) plus a FILTER over the bound
+    variable — pure projections folded into the BGP's output stage,
+    zero extra shuffles."""
+    from rdf_converter_spark.operators.bgp import bgp_match
+
+    base = "http://kg.test/"
+    kg = _kg_tpch_unordered(spark, sf_dir)
+    out = bgp_match(
+        kg,
+        [
+            ("?c", base + "ontology#type", base + "Customer"),
+            ("?c", base + "ontology#nation", "?n"),
+            ("?c", base + "ontology#segment", "?seg"),
+        ],
+        binds=[
+            ("?nkey", "upper(regexp_extract(?n, '([^/]+)$', 1))"),
+            ("?tag", "concat(?nkey, ':', ?seg)"),
+        ],
+        filters=["length(?tag) > 12"],
+    )
+    return out.select(
+        F.col("c").alias("cust"), "nkey", "tag"
+    ).orderBy("cust", "tag")
+
+
+_SPARQL_BIND_ORACLE = """
+WITH kg AS (%s),
+sol AS (
+  SELECT t1.subj AS c, t2.obj AS n, t3.obj AS seg
+  FROM kg t1
+  JOIN kg t2 ON t2.subj = t1.subj
+            AND t2.pred = 'http://kg.test/ontology#nation'
+  JOIN kg t3 ON t3.subj = t1.subj
+            AND t3.pred = 'http://kg.test/ontology#segment'
+  WHERE t1.pred = 'http://kg.test/ontology#type'
+    AND t1.obj = 'http://kg.test/Customer'
+),
+b AS (
+  SELECT c, upper(regexp_extract(n, '([^/]+)$', 1)) AS nkey, seg
+  FROM sol
+),
+b2 AS (SELECT c, nkey, nkey || ':' || seg AS tag FROM b)
+SELECT c AS cust, nkey, tag FROM b2
+WHERE length(tag) > 12
+ORDER BY cust, tag
+""" % _KG_TPCH_ORACLE
+
+
 def q_sparql_minus(spark, sf_dir):
     """SPARQL MINUS (operators/bgp.py): customers with their segment,
     minus those whose nation is in EUROPE — the minus group is its
@@ -2690,6 +2807,39 @@ def q_domain_quota(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q_robots_filter(spark, sf_dir):
+    """robots.txt compliance filter (operators/robots.py): Spark must
+    genuinely PARSE the per-host robots body (group runs, comment /
+    CRLF / casing cleanup, empty-Disallow drop, '*'-group selection)
+    and apply longest-match-wins prefix rules; the oracle skips the
+    parse and predicts every verdict from the generating formula —
+    a badbot group's 'Disallow: /' leaking into the '*' group, or a
+    tie-break bug, flips rows immediately."""
+    from rdf_converter_spark.operators.robots import robots_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    urls = _crawl_urls(docs)
+    hosts = urls.select(
+        F.lower(F.regexp_extract("url", r"://([^/]+)", 1)).alias("host")
+    ).distinct()
+    a = (F.regexp_extract("host", r"dom(\d+)", 1).cast("int") % 10) \
+        .cast("string")
+    b = F.regexp_extract("host", r"sub(\d+)", 1)
+    robots = hosts.select(
+        "host",
+        F.concat(
+            F.lit("# robots for "), F.col("host"),
+            F.lit("\r\nUser-Agent: badbot\r\nDisallow: /\r\n\r\n"
+                  "User-agent: *\nDISALLOW: /p/"), a,
+            F.lit("\nAllow: /p/"), a, b,
+            F.lit("\nDisallow:\n"),
+        ).alias("robots_txt"),
+    )
+    return robots_filter(urls, robots).select(
+        "doc_id", "url", "host", "allowed", "rule_path"
+    ).orderBy("doc_id")
+
+
 def q_blocklist_filter(spark, sf_dir):
     """Suffix-semantics domain blocklist (operators/curation.py:
     blocklist_filter): a rule blocks its host and every subdomain;
@@ -2830,6 +2980,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "path_match": q_path_match,
         "path_star": q_path_star,
         "path_nps": q_path_nps,
+        "warc_roundtrip": q_warc_roundtrip,
+        "sparql_bind": q_sparql_bind,
         "sparql_minus": q_sparql_minus,
         "sparql_exists": q_sparql_exists,
         "sparql_subquery": q_sparql_subquery,
@@ -2913,6 +3065,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snapshot_diff": q_snapshot_diff,
         "domain_quota_sample": q_domain_quota,
         "blocklist_filter": q_blocklist_filter,
+        "robots_filter": q_robots_filter,
         "doc_chunks": q_doc_chunks,
         "anchor_texts": q_anchor_texts,
         "label_propagation": q_label_prop,
@@ -3024,6 +3177,8 @@ def oracle_sql() -> dict[str, str]:
         "path_match": _PATH_MATCH_ORACLE,
         "path_star": _PATH_STAR_ORACLE,
         "path_nps": _PATH_NPS_ORACLE,
+        "warc_roundtrip": _WARC_ROUNDTRIP_ORACLE,
+        "sparql_bind": _SPARQL_BIND_ORACLE,
         "sparql_minus": _SPARQL_MINUS_ORACLE,
         "sparql_exists": _SPARQL_EXISTS_ORACLE,
         "sparql_subquery": _SPARQL_SUBQUERY_ORACLE,
@@ -4141,6 +4296,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, url, host FROM r WHERE rk <= 5
             ORDER BY doc_id
         """ % (_CRAWL_URLS_SQL % "", _HOST_RE_SQL),
+        "robots_filter": """
+            WITH u AS (%s),
+            c AS (
+              SELECT doc_id, url,
+                     'sub' || CAST(doc_id %% 7 AS VARCHAR)
+                       || '.dom' || CAST(doc_id %% 13 AS VARCHAR)
+                       || '.example' AS host,
+                     CAST((doc_id %% 13) %% 10 AS VARCHAR) AS a,
+                     CAST(doc_id %% 7 AS VARCHAR) AS b,
+                     CAST(doc_id AS VARCHAR) AS s
+              FROM u
+            )
+            SELECT doc_id, url, host,
+                   CASE WHEN starts_with(s, a || b) THEN true
+                        WHEN starts_with(s, a) THEN false
+                        ELSE true END AS allowed,
+                   CASE WHEN starts_with(s, a || b)
+                          THEN '/p/' || a || b
+                        WHEN starts_with(s, a) THEN '/p/' || a
+                        ELSE NULL END AS rule_path
+            FROM c ORDER BY doc_id
+        """ % (_CRAWL_URLS_SQL % ""),
         "blocklist_filter": """
             WITH d AS (%s),
             h AS (

@@ -162,6 +162,9 @@ HEADLINE = [
     "path_nps",
     "inverted_index",
     "phrase_search",
+    "robots_filter",
+    "sparql_bind",
+    "warc_roundtrip",
 ]
 
 

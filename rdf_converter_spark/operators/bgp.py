@@ -85,6 +85,7 @@ def bgp_match(
     values: Sequence[dict] = (),
     exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
     not_exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
+    binds: Sequence[Tuple[str, str]] = (),
     _positions: Sequence[str] = _POS,
 ) -> DataFrame:
     """Match a basic graph pattern against ``triples``.
@@ -141,6 +142,14 @@ def bgp_match(
     literal data. Evaluation order follows the trailing-VALUES form:
     the block joins the fully assembled group (after OPTIONAL /
     MINUS), before FILTERs.
+
+    ``binds`` takes SPARQL ``BIND(expr AS ?var)`` clauses as ordered
+    ``(var, expr)`` pairs — each introduces a NEW variable computed
+    from a Spark SQL expression over ``?var`` references (re-binding
+    an in-scope variable is a SPARQL syntax error and raises here);
+    later binds and all ``filters`` see earlier binds. A BIND is a
+    pure projection: zero shuffles, folded into whatever stage
+    produces the solution.
 
     ``filters`` takes SPARQL ``FILTER`` expressions as Spark SQL
     boolean strings over the variable columns (e.g.
@@ -245,6 +254,25 @@ def bgp_match(
                     probe,
                     on=F.lit(True),
                     how="left_anti" if negate else "left_semi")
+    for var, expr in binds:
+        var = var.lstrip("?")
+        if var in bound_vars:
+            raise ValueError(
+                "BIND(... AS ?%s): variable already bound (SPARQL "
+                "forbids re-binding an in-scope variable)" % var
+            )
+        missing = [
+            v for v in _FILTER_VAR.findall(expr) if v not in bound_vars
+        ]
+        if missing:
+            raise ValueError(
+                "BIND %r references unbound variables %s (bound: %s)"
+                % (expr, missing, sorted(bound_vars))
+            )
+        bound = bound.withColumn(
+            var, F.expr(_FILTER_VAR.sub(r"`\1`", expr))
+        )
+        bound_vars.add(var)
     for expr in filters:
         # SPARQL-style ?var tokens are validated against the bound
         # set and rewritten to column references; plain identifiers

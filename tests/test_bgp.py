@@ -415,3 +415,30 @@ def test_constant_filter_reaches_scan(spark, tmp_path):
     out = bgp_match(t, [("?s", "type", "?o")])
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(pred), EqualTo(pred,type)" in plan
+
+
+def test_bind_new_variable_and_filter_scope(triples):
+    out = bgp_match(
+        triples,
+        [("?s", "type", "Person"), ("?s", "name", "?n")],
+        binds=[("?u", "upper(?n)"), ("?tag", "concat(?u, '!')")],
+        filters=["?tag = 'ALICE!'"],
+    )
+    rows = out.collect()
+    assert [(r.s, r.n, r.u, r.tag) for r in rows] == [
+        ("a", "Alice", "ALICE", "ALICE!")
+    ]
+
+
+def test_bind_rebinding_raises(triples):
+    with pytest.raises(ValueError, match="already bound"):
+        bgp_match(
+            triples, [("?s", "name", "?n")], binds=[("?n", "upper(?n)")]
+        )
+
+
+def test_bind_unbound_reference_raises(triples):
+    with pytest.raises(ValueError, match="unbound"):
+        bgp_match(
+            triples, [("?s", "name", "?n")], binds=[("?u", "upper(?x)")]
+        )
