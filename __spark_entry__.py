@@ -1352,8 +1352,13 @@ def q_rdfs_entail(spark, sf_dir):
     from rdf_converter_spark.operators.rdfs import rdfs_entail
 
     schema = _rdfs_test_schema(spark)
+    # the closure operator is contractually a pass over a
+    # MATERIALIZED triple store; here the store is itself a derived
+    # plan (the kg construction), so materialize it once — otherwise
+    # every rule branch of the closure union re-runs the ~3 s
+    # construction (6x re-evaluation observed in BENCH_r04)
     kg = _kg_tpch_unordered(spark, sf_dir).select(
-        "subj", "pred", "obj", "obj_is_uri")
+        "subj", "pred", "obj", "obj_is_uri").localCheckpoint()
     out = rdfs_entail(
         kg.unionByName(schema),
         type_pred="http://kg.test/ontology#type",
@@ -1377,15 +1382,20 @@ def q_rdfs_incremental(spark, sf_dir):
 
     by = "http://kg.test/ontology#by"
     schema = _rdfs_test_schema(spark)
+    # materialize the constructed store once (see q_rdfs_entail), and
+    # materialize `closed` too: the incremental operator's contract
+    # says it maintains a PREVIOUSLY MATERIALIZED closure — handing
+    # it a live plan made the anti-join + union re-run the whole
+    # one-shot closure several times (63 s observed in BENCH_r04)
     kg = _kg_tpch_unordered(spark, sf_dir).select(
-        "subj", "pred", "obj", "obj_is_uri")
+        "subj", "pred", "obj", "obj_is_uri").localCheckpoint()
     old = kg.filter(F.col("pred") != by)
     delta = kg.filter(F.col("pred") == by)
     closed = rdfs_entail(
         old.unionByName(schema),
         type_pred="http://kg.test/ontology#type",
         uri_flag="obj_is_uri",
-    )
+    ).localCheckpoint()
     out = rdfs_entail_incremental(
         closed, delta, schema.select("subj", "pred", "obj"),
         type_pred="http://kg.test/ontology#type",

@@ -226,6 +226,11 @@ def rdfs_entail_incremental(
             type_pred, subclass_pred, subprop_pred,
             domain_pred, range_pred,
         )
+    # the delta closure is bounded by the batch size (contract), and
+    # it feeds BOTH the broadcast anti-probe and the union below —
+    # materialize it once so its own entailment plan (two transitive
+    # closures + rule joins) doesn't run twice
+    new = new.localCheckpoint()
     survivors = closed.select(*cols).join(
         F.broadcast(new), on=cols, how="left_anti")
     return survivors.unionByName(new)
