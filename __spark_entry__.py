@@ -1995,6 +1995,21 @@ def q_ann_topk(spark, sf_dir):
     return brute_force_topk(emb, queries, k=5).orderBy("query_id", "rank")
 
 
+def q_ann_topk_pq(spark, sf_dir):
+    """Product-quantization ADC top-k (operators/ann.py:pq_topk):
+    corpus encoded against deterministic data-derived codebooks
+    (first 16 vectors' subvectors), scoring reads only the code
+    table; the oracle re-runs encode + ADC in SQL with the identical
+    dot-product-identity arithmetic and integer micro-unit sums."""
+    from rdf_converter_spark.operators.ann import pq_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_topk(emb, queries, dim=64, k=5).orderBy("query_id", "rank")
+
+
 def q_ann_topk_lsh(spark, sf_dir):
     from rdf_converter_spark.operators.ann import lsh_topk
 
@@ -3053,6 +3068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "embedding_near_dup": q_embedding_near_dup,
         "ann_topk": q_ann_topk,
+        "ann_topk_pq": q_ann_topk_pq,
         "ann_topk_lsh": q_ann_topk_lsh,
         "ann_topk_ivf": q_ann_topk_ivf,
         "multimodal_features": q_multimodal_features,
@@ -3763,6 +3779,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT query_id, vec_id, rank, cosine FROM (
               SELECT *, row_number() OVER (
                 PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+              ) AS rank FROM scored
+            ) WHERE rank <= 5 ORDER BY query_id, rank
+        """,
+        "ann_topk_pq": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+              FROM embeddings
+            ), cb AS (
+              SELECT vec_id AS code, v FROM e WHERE vec_id < 16
+            ), sub AS (
+              SELECT CAST(s AS INT) AS s FROM unnest(range(0, 8)) t(s)
+            ), encd AS (
+              SELECT e.vec_id, sub.s, cb.code,
+                     round(
+                       list_dot_product(list_slice(e.v, sub.s*8+1, sub.s*8+8),
+                                        list_slice(e.v, sub.s*8+1, sub.s*8+8))
+                       - 2 * list_dot_product(
+                               list_slice(e.v, sub.s*8+1, sub.s*8+8),
+                               list_slice(cb.v, sub.s*8+1, sub.s*8+8))
+                       + list_dot_product(
+                               list_slice(cb.v, sub.s*8+1, sub.s*8+8),
+                               list_slice(cb.v, sub.s*8+1, sub.s*8+8)),
+                       6) AS d2
+              FROM e CROSS JOIN sub CROSS JOIN cb
+            ), pick AS (
+              SELECT vec_id, s, code FROM (
+                SELECT *, row_number() OVER (
+                  PARTITION BY vec_id, s ORDER BY d2 ASC, code ASC) AS rn
+                FROM encd
+              ) WHERE rn = 1
+            ), q AS (
+              SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10
+            ), dt AS (
+              SELECT q.query_id, sub.s, cb.code,
+                     CAST(round(round(
+                       list_dot_product(list_slice(q.qv, sub.s*8+1, sub.s*8+8),
+                                        list_slice(q.qv, sub.s*8+1, sub.s*8+8))
+                       - 2 * list_dot_product(
+                               list_slice(q.qv, sub.s*8+1, sub.s*8+8),
+                               list_slice(cb.v, sub.s*8+1, sub.s*8+8))
+                       + list_dot_product(
+                               list_slice(cb.v, sub.s*8+1, sub.s*8+8),
+                               list_slice(cb.v, sub.s*8+1, sub.s*8+8)),
+                       6) * 1000000) AS BIGINT) AS ds
+              FROM q CROSS JOIN sub CROSS JOIN cb
+            ), scored AS (
+              SELECT dt.query_id, p.vec_id,
+                     CAST(sum(dt.ds) AS DOUBLE) / 1000000 AS adist
+              FROM pick p JOIN dt USING (s, code)
+              WHERE dt.query_id <> p.vec_id
+              GROUP BY dt.query_id, p.vec_id
+            )
+            SELECT query_id, vec_id, rank, adist FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adist ASC, vec_id ASC
               ) AS rank FROM scored
             ) WHERE rank <= 5 ORDER BY query_id, rank
         """,

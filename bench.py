@@ -96,6 +96,7 @@ HEADLINE = [
     "embedding_near_dup",
     "ann_topk",
     "ann_topk_lsh",
+    "ann_topk_pq",
     "ann_topk_ivf",
     "multimodal_features",
     "media_headers",

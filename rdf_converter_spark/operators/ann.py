@@ -330,3 +330,120 @@ def lsh_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "vec_id", F.col("rank").cast("long").alias("rank"), "cosine")
     )
+
+
+def _dot(va, vb):
+    """Sequential-double dot product (bit-stable vs DuckDB's
+    list_dot_product, same left-to-right fold)."""
+    return F.aggregate(
+        F.zip_with(va, vb, lambda x, y: x * y), F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def pq_topk(
+    embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
+    m_sub: int = 8, n_codes: int = 16,
+) -> DataFrame:
+    """Product-quantization approximate top-k (ADC scan) — the third
+    classic ANN scale path next to hyperplane LSH and IVF, and the
+    one that shrinks STORAGE: each corpus vector is encoded once as
+    ``m_sub`` small codes (here one byte each — m_sub bytes instead
+    of 4*dim), and query scoring reads ONLY the code table.
+
+    Codebooks are the first ``n_codes`` corpus vectors' subvectors —
+    the same deterministic, data-derived pick as ``ivf_topk``'s
+    coarse centroids (a k-means fit would not be reproducible across
+    engines). Encoding is a pure per-row computation against literal
+    codebooks (map-only, NO shuffle of the corpus); the asymmetric
+    distance is the sum of per-subspace L2² terms, each computed via
+    the dot-product identity |q-c|² = q·q - 2q·c + c·c (the exact
+    sequence the DuckDB twin runs), scaled to micro-units and summed
+    as INTEGERS so the total is addition-order-free across engines.
+    The only exchange in the whole query is the per-query rank
+    window. At 10^12 vectors this composes with IVF cells (encode
+    per cell, scan only probed cells); here it is exhibited as the
+    full-corpus ADC scan that IVFADC runs per cell.
+    """
+    if dim % m_sub:
+        raise ValueError("dim %d not divisible by m_sub %d" % (dim, m_sub))
+    sub = dim // m_sub
+    corpus = _as_double(embeddings).select("vec_id", "v")
+    cb_rows = sorted(
+        corpus.filter(F.col("vec_id") < n_codes)
+        .orderBy("vec_id").limit(n_codes).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    if len(cb_rows) < n_codes:  # sparse vec_ids: generic top-n pick
+        cb_rows = sorted(
+            corpus.orderBy("vec_id").limit(n_codes).collect(),
+            key=lambda r: r["vec_id"],
+        )
+    cbs = [
+        [[float(x) for x in r["v"][s * sub:(s + 1) * sub]]
+         for r in cb_rows]
+        for s in range(m_sub)
+    ]
+
+    def sl(v, s):
+        return F.slice(v, s * sub + 1, sub)
+
+    def l2(a, b):
+        return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
+
+    def code_for(v, s):
+        """argmin over literal codewords of round(L2², 6), ties to
+        the lower code — single aggregate fold (linear tree)."""
+        arr = F.array(*[
+            F.struct(
+                F.lit(c).cast("int").alias("code"),
+                F.array(*[F.lit(x) for x in cbs[s][c]]).alias("cw"),
+            )
+            for c in range(n_codes)
+        ])
+        init = F.struct(
+            F.lit(1e18).alias("d"), F.lit(-1).cast("int").alias("code")
+        )
+        vs = sl(v, s)
+
+        def step(acc, cws):
+            d = F.round(l2(vs, cws["cw"]), 6)
+            better = (d < acc["d"]) | (
+                (d == acc["d"]) & (cws["code"] < acc["code"])
+            )
+            return F.when(
+                better, F.struct(d.alias("d"), cws["code"].alias("code"))
+            ).otherwise(acc)
+
+        return F.aggregate(arr, init, step)["code"]
+
+    codes = corpus.select(
+        "vec_id",
+        F.array(*[code_for(F.col("v"), s)
+                  for s in range(m_sub)]).alias("codes"),
+    )
+    q = _as_double(queries).select("query_id", F.col("v").alias("qv"))
+    scored = codes.crossJoin(F.broadcast(q)).filter(
+        F.col("query_id") != F.col("vec_id")
+    )
+    parts = None
+    for s in range(m_sub):
+        qs = sl(F.col("qv"), s)
+        cb_lit = F.array(*[
+            F.array(*[F.lit(x) for x in cbs[s][c]]) for c in range(n_codes)
+        ])
+        cw = F.element_at(cb_lit, F.element_at("codes", s + 1) + 1)
+        ds = F.round(F.round(l2(qs, cw), 6) * 1e6).cast("long")
+        parts = ds if parts is None else parts + ds
+    scored = scored.withColumn(
+        "adist", parts.cast("double") / F.lit(1000000.0)
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adist").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id",
+                F.col("rank").cast("long").alias("rank"), "adist")
+    )

@@ -113,3 +113,37 @@ def test_ivf_arrow_and_expr_paths_agree(spark):
     key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
     assert sorted(map(tuple, a), key=lambda t: (t[0], t[2])) == \
         sorted(map(tuple, b), key=lambda t: (t[0], t[2]))
+
+
+def test_pq_topk_planted_near_dup_recall(spark):
+    """PQ/ADC must put a planted near-duplicate's source in its
+    top-5: the quantization error is bounded by the codeword grid,
+    tiny next to a near-zero true distance. Random-pair ordering is
+    NOT asserted (PQ distorts absolute distances by design)."""
+    from rdf_converter_spark.operators.ann import brute_force_topk, pq_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 100000).alias("query_id"),
+        F.transform(
+            "embedding", lambda x: (x + F.lit(0.003)).cast("float")
+        ).alias("embedding"),
+    )
+    exact1 = _topk_sets(brute_force_topk(emb, queries, k=1))
+    assert all((q - 100000) in s for q, s in exact1.items())
+    got = _topk_sets(pq_topk(emb, queries, dim=64, k=5))
+    hit = sum(1 for q in exact1 if (q - 100000) in got.get(q, set()))
+    assert hit / len(exact1) >= 0.95, hit
+
+
+def test_pq_codes_are_bounded_and_deterministic(spark):
+    from rdf_converter_spark.operators.ann import pq_topk
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = pq_topk(emb, queries, dim=64, k=3).collect()
+    b = pq_topk(emb, queries, dim=64, k=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    assert all(r["adist"] >= 0.0 for r in a)
