@@ -341,9 +341,54 @@ def _dot(va, vb):
     )
 
 
+def _arrow_pq_encoder(cbs, sub: int):
+    """Arrow batch PQ encoder: per subspace, distances to every
+    codeword computed with SEQUENTIAL float64 accumulation (explicit
+    per-dimension loop, NOT a BLAS matmul whose blocked summation
+    would change the doubles), so every d² is bit-identical to the
+    JVM/DuckDB expression twin; argmin on micro-unit integers with
+    first-occurrence (= lowest code) tie-break — the same (d, code)
+    order the expression path and the oracle use."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    m_sub = len(cbs)
+    n_codes = len(cbs[0])
+
+    @pandas_udf("array<int>")
+    def encode(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        V = np.array(vs.tolist(), dtype=np.float64)
+        n = V.shape[0]
+        out = np.empty((n, m_sub), dtype=np.int32)
+        for s in range(m_sub):
+            Vs = V[:, s * sub:(s + 1) * sub]
+            vv = Vs[:, 0] * Vs[:, 0]
+            for j in range(1, sub):
+                vv = vv + Vs[:, j] * Vs[:, j]
+            dints = np.empty((n, n_codes), dtype=np.int64)
+            for c in range(n_codes):
+                cw = cbs[s][c]
+                vc = Vs[:, 0] * cw[0]
+                for j in range(1, sub):
+                    vc = vc + Vs[:, j] * cw[j]
+                cc = cw[0] * cw[0]
+                for x in cw[1:]:
+                    cc = cc + x * x
+                d2 = vv - 2 * vc + cc
+                # HALF_UP at 6 decimals (d2 >= 0), matching
+                # round(d2, 6) comparisons in Spark SQL / DuckDB
+                dints[:, c] = np.floor(d2 * 1e6 + 0.5).astype(np.int64)
+            out[:, s] = np.argmin(dints, axis=1)  # first min = low code
+        return pd.Series([row.tolist() for row in out])
+
+    return encode
+
+
 def pq_topk(
     embeddings: DataFrame, queries: DataFrame, dim: int, k: int = 5,
-    m_sub: int = 8, n_codes: int = 16,
+    m_sub: int = 8, n_codes: int = 16, encoder: str = "arrow",
 ) -> DataFrame:
     """Product-quantization approximate top-k (ADC scan) — the third
     classic ANN scale path next to hyperplane LSH and IVF, and the
@@ -385,59 +430,93 @@ def pq_topk(
         for s in range(m_sub)
     ]
 
-    def sl(v, s):
-        return F.slice(v, s * sub + 1, sub)
+    # All distances below are UNROLLED left-associative dot-product
+    # chains with the exact summation order of DuckDB's sequential
+    # list_dot_product, via the identity |a-c|^2 = a.a - 2 a.c + c.c.
+    # The whole encode / distance-table expression is assembled as ONE
+    # SQL string and parsed JVM-side by F.expr: composing it from py4j
+    # Column objects cost ~18 s of driver-serial plan build (tens of
+    # thousands of py4j round trips) before a single task ran.
 
-    def l2(a, b):
-        return _dot(a, a) - 2 * _dot(a, b) + _dot(b, b)
+    def lit_d(x: float) -> str:
+        return repr(float(x)) + "D"  # double literal (bare decimals
+        #                              parse as DECIMAL in Spark SQL)
 
-    def code_for(v, s):
-        """argmin over literal codewords of round(L2², 6), ties to
-        the lower code — single aggregate fold (linear tree)."""
-        arr = F.array(*[
-            F.struct(
-                F.lit(c).cast("int").alias("code"),
-                F.array(*[F.lit(x) for x in cbs[s][c]]).alias("cw"),
-            )
-            for c in range(n_codes)
-        ])
-        init = F.struct(
-            F.lit(1e18).alias("d"), F.lit(-1).cast("int").alias("code")
+    def udot_vv_sql(col: str, s: int) -> str:
+        return " + ".join(
+            "element_at({c}, {i}) * element_at({c}, {i})".format(
+                c=col, i=s * sub + j + 1)
+            for j in range(sub)
         )
-        vs = sl(v, s)
 
-        def step(acc, cws):
-            d = F.round(l2(vs, cws["cw"]), 6)
-            better = (d < acc["d"]) | (
-                (d == acc["d"]) & (cws["code"] < acc["code"])
-            )
-            return F.when(
-                better, F.struct(d.alias("d"), cws["code"].alias("code"))
-            ).otherwise(acc)
+    def udot_vc_sql(col: str, s: int, cw) -> str:
+        return " + ".join(
+            "element_at({c}, {i}) * {x}".format(
+                c=col, i=s * sub + j + 1, x=lit_d(cw[j]))
+            for j in range(sub)
+        )
 
-        return F.aggregate(arr, init, step)["code"]
+    def cdot(cw) -> float:
+        acc = cw[0] * cw[0]
+        for x in cw[1:]:
+            acc = acc + x * x
+        return acc
 
-    codes = corpus.select(
-        "vec_id",
-        F.array(*[code_for(F.col("v"), s)
-                  for s in range(m_sub)]).alias("codes"),
-    )
+    def l2_sql(col: str, s: int, cw) -> str:
+        return "({vv}) - 2 * ({vc}) + {cc}".format(
+            vv=udot_vv_sql(col, s), vc=udot_vc_sql(col, s, cw),
+            cc=lit_d(cdot(cw)))
+
+    def code_sql(s: int) -> str:
+        """argmin over literal codewords of round(L2², 6), ties to the
+        lower code: struct ordering under array_min compares d first,
+        then code."""
+        entries = ", ".join(
+            "named_struct('d', round({d}, 6), 'code', {c})".format(
+                d=l2_sql("v", s, cbs[s][c]), c=c)
+            for c in range(n_codes)
+        )
+        return "array_min(array({e}))['code']".format(e=entries)
+
+    if encoder == "arrow":
+        codes = corpus.select(
+            "vec_id",
+            _arrow_pq_encoder(cbs, sub)(F.col("v")).alias("codes"),
+        )
+    else:  # "expr": pure-Catalyst path, kept for plan tests / no-Arrow
+        codes = corpus.select(
+            "vec_id",
+            F.expr("array(%s)" % ", ".join(
+                code_sql(s) for s in range(m_sub))).alias("codes"),
+        )
+    # per-query ADC distance tables: n_codes micro-unit integers per
+    # subspace, computed ONCE per query row (queries are few by
+    # contract); the corpus-scale path below is pure element_at
+    # lookups + integer adds
     q = _as_double(queries).select("query_id", F.col("v").alias("qv"))
+    q = q.select(
+        "query_id",
+        *[
+            F.expr("array(%s)" % ", ".join(
+                "cast(round(round({d}, 6) * 1000000e0) as bigint)".format(
+                    d=l2_sql("qv", s, cbs[s][c]))
+                for c in range(n_codes)
+            )).alias("dt%d" % s)
+            for s in range(m_sub)
+        ],
+    )
     scored = codes.crossJoin(F.broadcast(q)).filter(
         F.col("query_id") != F.col("vec_id")
     )
     parts = None
     for s in range(m_sub):
-        qs = sl(F.col("qv"), s)
-        cb_lit = F.array(*[
-            F.array(*[F.lit(x) for x in cbs[s][c]]) for c in range(n_codes)
-        ])
-        cw = F.element_at(cb_lit, F.element_at("codes", s + 1) + 1)
-        ds = F.round(F.round(l2(qs, cw), 6) * 1e6).cast("long")
+        ds = F.element_at(
+            F.col("dt%d" % s), F.element_at("codes", s + 1) + 1
+        )
         parts = ds if parts is None else parts + ds
     scored = scored.withColumn(
         "adist", parts.cast("double") / F.lit(1000000.0)
-    )
+    ).drop(*["dt%d" % s for s in range(m_sub)])
     w = Window.partitionBy("query_id").orderBy(
         F.col("adist").asc(), F.col("vec_id").asc()
     )
