@@ -1363,6 +1363,85 @@ def _rdfs_test_schema(spark):
     )
 
 
+def q_owl_entail(spark, sf_dir):
+    """OWL-lite property entailment (operators/owl.py:owl_entail_lite)
+    over the constructed KG plus three injected axioms: ont#by
+    owl:inverseOf ont#placed (every order--by-->cust adds
+    cust--placed-->order), ont#nation declared Symmetric (adds
+    nation--nation-->cust back-edges) and Transitive. The engine must
+    RUN the doubling loop over the symmetric-closed nation edges; the
+    oracle states the closed form it must converge to — the complete
+    digraph (self-loops included) on each nation's node group."""
+    from rdf_converter_spark.operators.owl import (
+        OWL_INVERSE_OF, OWL_SYMMETRIC, OWL_TRANSITIVE, owl_entail_lite,
+    )
+
+    o = "http://kg.test/ontology#"
+    rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    kg = _kg_store(spark, sf_dir).select(
+        "subj", "pred", "obj", "obj_is_uri")
+    axioms = spark.createDataFrame(
+        [
+            (o + "by", OWL_INVERSE_OF, o + "placed", True),
+            (o + "nation", rdf_type, OWL_SYMMETRIC, True),
+            (o + "nation", rdf_type, OWL_TRANSITIVE, True),
+        ],
+        "subj string, pred string, obj string, obj_is_uri boolean",
+    )
+    out = owl_entail_lite(kg.unionByName(axioms), type_pred=rdf_type)
+    return out.orderBy("subj", "pred", "obj")
+
+
+_OWL_ENTAIL_ORACLE = """
+WITH kg AS (%s),
+onto AS (
+  SELECT 'http://kg.test/ontology#' AS o,
+         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS t,
+         'http://www.w3.org/2002/07/owl#' AS owl
+),
+base AS (
+  SELECT subj, pred, obj, obj_is_uri FROM kg
+  UNION ALL
+  SELECT o || 'by', owl || 'inverseOf', o || 'placed', true FROM onto
+  UNION ALL
+  SELECT o || 'nation', t, owl || 'SymmetricProperty', true FROM onto
+  UNION ALL
+  SELECT o || 'nation', t, owl || 'TransitiveProperty', true FROM onto
+),
+nat AS (
+  SELECT subj, obj FROM kg
+  WHERE pred = 'http://kg.test/ontology#nation'
+),
+inv AS (
+  SELECT obj AS subj, 'http://kg.test/ontology#placed' AS pred,
+         subj AS obj, true AS obj_is_uri
+  FROM kg WHERE pred = 'http://kg.test/ontology#by'
+),
+sym AS (
+  SELECT obj AS subj, 'http://kg.test/ontology#nation' AS pred,
+         subj AS obj, true AS obj_is_uri
+  FROM nat
+),
+nodes AS (
+  SELECT subj AS node, obj AS grp FROM nat
+  UNION
+  SELECT obj, obj FROM nat
+),
+clo AS (
+  SELECT a.node AS subj, 'http://kg.test/ontology#nation' AS pred,
+         b.node AS obj, true AS obj_is_uri
+  FROM nodes a JOIN nodes b USING (grp)
+)
+SELECT DISTINCT subj, pred, obj, obj_is_uri FROM (
+  SELECT * FROM base
+  UNION ALL SELECT * FROM inv
+  UNION ALL SELECT * FROM sym
+  UNION ALL SELECT * FROM clo
+)
+ORDER BY subj, pred, obj
+""" % _KG_TPCH_ORACLE
+
+
 def q_rdfs_entail(spark, sf_dir):
     """RDFS closure (operators/rdfs.py) of the test ontology over the
     full constructed KG. Every rule join broadcasts the
@@ -3014,6 +3093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_optional": q_bgp_optional,
         "property_table": q_property_table,
         "sparql_construct": q_sparql_construct,
+        "owl_entail": q_owl_entail,
         "rdfs_entail": q_rdfs_entail,
         "rdfs_incremental": q_rdfs_incremental,
         "bgp_filter_union": q_bgp_filter_union,
@@ -3212,6 +3292,7 @@ def oracle_sql() -> dict[str, str]:
         "bgp_optional": _BGP_OPTIONAL_ORACLE,
         "property_table": _PROPERTY_TABLE_ORACLE,
         "sparql_construct": _SPARQL_CONSTRUCT_ORACLE,
+        "owl_entail": _OWL_ENTAIL_ORACLE,
         "rdfs_entail": _RDFS_ENTAIL_ORACLE,
         "rdfs_incremental": _RDFS_ENTAIL_ORACLE,
         "bgp_filter_union": _BGP_FILTER_UNION_ORACLE,

@@ -135,6 +135,7 @@ HEADLINE = [
     "property_table",
     "skew_salted_join",
     "sparql_construct",
+    "owl_entail",
     "rdfs_entail",
     "rdfs_incremental",
     "bgp_filter_union",

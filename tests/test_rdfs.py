@@ -171,3 +171,79 @@ def test_incremental_store_never_exchanged(spark):
     # exchange may appear between the store scan and the union
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+# --- OWL-lite property entailment (operators/owl.py) ------------------
+
+OWL = "http://www.w3.org/2002/07/owl#"
+RDF_T = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+def _owl(spark, rows):
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_uri boolean"
+    )
+
+
+def _triples_set(df):
+    return {(r.subj, r.pred, r.obj) for r in df.collect()}
+
+
+def test_owl_inverse_both_directions(spark):
+    from rdf_converter_spark.operators.owl import owl_entail_lite
+
+    t = _owl(spark, [
+        ("p", OWL + "inverseOf", "q", True),
+        ("a", "p", "b", True),
+        ("c", "q", "d", True),
+        ("a", "p", "literal", False),  # literals never invert
+    ])
+    got = _triples_set(owl_entail_lite(t))
+    assert ("b", "q", "a") in got and ("d", "p", "c") in got
+    assert ("literal", "q", "a") not in got
+    assert ("a", "p", "b") in got  # input preserved
+
+
+def test_owl_symmetric(spark):
+    from rdf_converter_spark.operators.owl import owl_entail_lite
+
+    t = _owl(spark, [
+        ("knows", RDF_T, OWL + "SymmetricProperty", True),
+        ("a", "knows", "b", True),
+        ("a", "likes", "b", True),
+    ])
+    got = _triples_set(owl_entail_lite(t))
+    assert ("b", "knows", "a") in got
+    assert ("b", "likes", "a") not in got
+
+
+def test_owl_transitive_chain_and_symmetric_interplay(spark):
+    from rdf_converter_spark.operators.owl import owl_entail_lite
+
+    t = _owl(spark, [
+        ("part", RDF_T, OWL + "TransitiveProperty", True),
+        ("part", RDF_T, OWL + "SymmetricProperty", True),
+        ("a", "part", "b", True),
+        ("b", "part", "c", True),
+    ])
+    got = _triples_set(owl_entail_lite(t))
+    # chain closure
+    assert ("a", "part", "c") in got
+    # symmetric back-edges participate in the closure: full clique
+    # incl. self-loops on {a, b, c}
+    for x in "abc":
+        for y in "abc":
+            assert (x, "part", y) in got, (x, y)
+
+
+def test_owl_no_axioms_is_identity(spark):
+    from rdf_converter_spark.operators.owl import owl_entail_lite
+
+    t = _owl(spark, [
+        ("a", "p", "b", True),
+        ("a", "p", "lit", False),
+        ("a", "p", "b", True),  # dup collapses
+    ])
+    out = owl_entail_lite(t)
+    assert _triples_set(out) == {("a", "p", "b"), ("a", "p", "lit")}
+    assert out.count() == 2
