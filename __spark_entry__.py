@@ -976,6 +976,46 @@ ORDER BY subj, pred, obj
 """
 
 
+def q_sparql_group_concat(spark, sf_dir):
+    """SPARQL GROUP_CONCAT + SAMPLE (operators/bgp.py:bgp_aggregate):
+    per-nation segment roster in the deterministic form the module
+    documents — array_join(sort_array(collect_list(...))) — plus
+    SAMPLE as min (any_value is nondeterministic across engines, so
+    the deterministic witness is pinned); one hash aggregate."""
+    from rdf_converter_spark.operators.bgp import bgp_aggregate
+
+    o = "http://kg.test/ontology#"
+    kg = _kg_store(spark, sf_dir)
+    out = bgp_aggregate(
+        kg,
+        [("?c", o + "nation", "?n"), ("?c", o + "segment", "?seg")],
+        group_by=["?n"],
+        aggregates={
+            "segs": "array_join(sort_array(collect_set(?seg)), '|')",
+            "witness": "MIN(?c)",
+            "n_cust": "COUNT(*)",
+        },
+    )
+    return out.select(
+        F.col("n").alias("nation"), "segs", "witness", "n_cust"
+    ).orderBy("nation")
+
+
+_SPARQL_GROUP_CONCAT_ORACLE = """
+WITH kg AS (%s)
+SELECT t1.obj AS nation,
+       string_agg(DISTINCT t2.obj, '|' ORDER BY t2.obj) AS segs,
+       min(t1.subj) AS witness,
+       count(*) AS n_cust
+FROM kg t1
+JOIN kg t2 ON t2.subj = t1.subj
+          AND t2.pred = 'http://kg.test/ontology#segment'
+WHERE t1.pred = 'http://kg.test/ontology#nation'
+GROUP BY 1
+ORDER BY 1
+""" % _KG_TPCH_ORACLE
+
+
 def q_sparql_aggregate(spark, sf_dir):
     """SPARQL GROUP BY + HAVING (operators/bgp.py:bgp_aggregate):
     orders-per-customer over the order BGP — the two-pattern join
@@ -3110,6 +3150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_report": q_shacl_report,
         "nt_parse": q_nt_parse,
         "sparql_aggregate": q_sparql_aggregate,
+        "sparql_group_concat": q_sparql_group_concat,
         "sparql_values_page": q_sparql_values_page,
         "sparql_describe": q_sparql_describe,
         "sameas_smush": q_sameas_smush,
@@ -3309,6 +3350,7 @@ def oracle_sql() -> dict[str, str]:
         "shacl_report": _SHACL_REPORT_ORACLE,
         "nt_parse": _NT_PARSE_ORACLE,
         "sparql_aggregate": _SPARQL_AGGREGATE_ORACLE,
+        "sparql_group_concat": _SPARQL_GROUP_CONCAT_ORACLE,
         "sparql_values_page": _SPARQL_VALUES_PAGE_ORACLE,
         "sparql_describe": _SPARQL_DESCRIBE_ORACLE,
         "sameas_smush": _SAMEAS_SMUSH_ORACLE,

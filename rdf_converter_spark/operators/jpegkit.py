@@ -353,19 +353,23 @@ def encode_jpeg(arr, quality: int = 90, subsampling: str = "444",
         qluma, qchroma = (np.asarray(t, np.int32) for t in quant_tables)
     else:
         qluma, qchroma = quality_tables(quality)
-    sub = 2 if subsampling == "420" else 1
-    hv = [(sub, sub)] + [(1, 1)] * (len(planes) - 1)
+    hsub, vsub = {"420": (2, 2), "422": (2, 1)}.get(subsampling, (1, 1))
+    hv = [(hsub, vsub)] + [(1, 1)] * (len(planes) - 1)
     mcu_h, mcu_w = 8 * hv[0][1], 8 * hv[0][0]
     mcus_y = (h + mcu_h - 1) // mcu_h
     mcus_x = (w + mcu_w - 1) // mcu_w
     comps = []
     for ci, p in enumerate(planes):
-        if ci and sub == 2:  # 2x2 box-mean chroma downsample
-            ph = (h + 1) // 2
-            pw = (w + 1) // 2
-            pp = _pad_to(p, ph * 2, pw * 2)
-            p = (pp[0::2, 0::2] + pp[0::2, 1::2]
-                 + pp[1::2, 0::2] + pp[1::2, 1::2]) / 4.0
+        if ci and (hsub > 1 or vsub > 1):  # box-mean chroma downsample
+            ph = (h + vsub - 1) // vsub
+            pw = (w + hsub - 1) // hsub
+            pp = _pad_to(p, ph * vsub, pw * hsub)
+            acc = None
+            for dy in range(vsub):
+                for dx in range(hsub):
+                    tile = pp[dy::vsub, dx::hsub]
+                    acc = tile if acc is None else acc + tile
+            p = acc / float(hsub * vsub)
         bh = mcus_y * 8 * hv[ci][1]
         bw = mcus_x * 8 * hv[ci][0]
         comps.append(_pad_to(p, bh, bw))

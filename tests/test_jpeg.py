@@ -113,3 +113,22 @@ def test_decode_image_dispatch():
     meta = decode_media_header(data)
     assert meta["format"] == "jpeg"
     assert (meta["width"], meta["height"]) == (24, 16)
+
+
+def test_constant_blocks_bit_exact_422():
+    rgb = _const_block_image(4, 2, seed=3)
+    data = encode_jpeg(rgb, subsampling="422", quant_tables=_dc8_tables())
+    assert np.array_equal(decode_jpeg(data), rgb)
+
+
+def test_lossy_422_bounded():
+    # horizontally-paired pixels: exactly the structure 4:2:2 chroma
+    # preserves, so the residual error is quantization-only (random
+    # UNPAIRED noise legitimately loses up to half the chroma range
+    # to the 2x1 box mean — that is the format, not a codec bug)
+    rng = np.random.RandomState(11)
+    half = rng.randint(0, 256, (24, 20, 3)).astype(np.uint8)
+    img = np.repeat(half, 2, axis=1)
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsampling="422"))
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 40 and err.mean() <= 8
