@@ -146,6 +146,7 @@ HEADLINE = [
     "shacl_report",
     "nt_parse",
     "sparql_aggregate",
+    "sparql_group_concat",
     "sparql_values_page",
     "sparql_describe",
     "sparql_update",
