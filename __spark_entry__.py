@@ -1408,10 +1408,17 @@ def q_owl_entail(spark, sf_dir):
     over the constructed KG plus three injected axioms: ont#by
     owl:inverseOf ont#placed (every order--by-->cust adds
     cust--placed-->order), ont#nation declared Symmetric (adds
-    nation--nation-->cust back-edges) and Transitive. The engine must
-    RUN the doubling loop over the symmetric-closed nation edges; the
-    oracle states the closed form it must converge to — the complete
-    digraph (self-loops included) on each nation's node group."""
+    nation--nation-->cust back-edges) and ont#succ — the
+    consecutive-order chain per customer, built here with one window
+    — declared Transitive. The engine must RUN the doubling loop over
+    the chains; the oracle states the closed form it must converge to
+    (every earlier-order -> later-order pair within a customer).
+    Chains are the transitive shape this operator is FOR: a dense
+    relation (e.g. symmetric nation) closes to a complete digraph
+    whose doubling join materializes |V|^3 intermediates — that case
+    is a connected-components-shaped job (operators/cc.py), per the
+    operator docstring, and a first cut of this query hit exactly
+    that wall at sf0.1."""
     from rdf_converter_spark.operators.owl import (
         OWL_INVERSE_OF, OWL_SYMMETRIC, OWL_TRANSITIVE, owl_entail_lite,
     )
@@ -1420,15 +1427,33 @@ def q_owl_entail(spark, sf_dir):
     rdf_type = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
     kg = _kg_store(spark, sf_dir).select(
         "subj", "pred", "obj", "obj_is_uri")
+    by = kg.filter(F.col("pred") == o + "by").select(
+        F.col("subj").alias("ord"), F.col("obj").alias("cust"))
+    dt = kg.filter(F.col("pred") == o + "date").select(
+        F.col("subj").alias("ord"), F.col("obj").alias("d"))
+    w = Window.partitionBy("cust").orderBy("d", "ord")
+    succ = (
+        by.join(dt, "ord")
+        .withColumn("nxt", F.lead("ord").over(w))
+        .filter(F.col("nxt").isNotNull())
+        .select(
+            F.col("ord").alias("subj"),
+            F.lit(o + "succ").alias("pred"),
+            F.col("nxt").alias("obj"),
+            F.lit(True).alias("obj_is_uri"),
+        )
+    )
     axioms = spark.createDataFrame(
         [
             (o + "by", OWL_INVERSE_OF, o + "placed", True),
             (o + "nation", rdf_type, OWL_SYMMETRIC, True),
-            (o + "nation", rdf_type, OWL_TRANSITIVE, True),
+            (o + "succ", rdf_type, OWL_TRANSITIVE, True),
         ],
         "subj string, pred string, obj string, obj_is_uri boolean",
     )
-    out = owl_entail_lite(kg.unionByName(axioms), type_pred=rdf_type)
+    out = owl_entail_lite(
+        kg.unionByName(axioms).unionByName(succ), type_pred=rdf_type
+    )
     return out.orderBy("subj", "pred", "obj")
 
 
@@ -1439,6 +1464,20 @@ onto AS (
          'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS t,
          'http://www.w3.org/2002/07/owl#' AS owl
 ),
+pos AS (
+  SELECT t1.subj AS ord, t1.obj AS cust,
+         row_number() OVER (
+           PARTITION BY t1.obj ORDER BY t2.obj, t1.subj) AS rn
+  FROM kg t1
+  JOIN kg t2 ON t2.subj = t1.subj
+            AND t2.pred = 'http://kg.test/ontology#date'
+  WHERE t1.pred = 'http://kg.test/ontology#by'
+),
+succ AS (
+  SELECT a.ord AS subj, 'http://kg.test/ontology#succ' AS pred,
+         b.ord AS obj, true AS obj_is_uri
+  FROM pos a JOIN pos b ON a.cust = b.cust AND b.rn = a.rn + 1
+),
 base AS (
   SELECT subj, pred, obj, obj_is_uri FROM kg
   UNION ALL
@@ -1446,7 +1485,9 @@ base AS (
   UNION ALL
   SELECT o || 'nation', t, owl || 'SymmetricProperty', true FROM onto
   UNION ALL
-  SELECT o || 'nation', t, owl || 'TransitiveProperty', true FROM onto
+  SELECT o || 'succ', t, owl || 'TransitiveProperty', true FROM onto
+  UNION ALL
+  SELECT subj, pred, obj, obj_is_uri FROM succ
 ),
 nat AS (
   SELECT subj, obj FROM kg
@@ -1462,15 +1503,10 @@ sym AS (
          subj AS obj, true AS obj_is_uri
   FROM nat
 ),
-nodes AS (
-  SELECT subj AS node, obj AS grp FROM nat
-  UNION
-  SELECT obj, obj FROM nat
-),
 clo AS (
-  SELECT a.node AS subj, 'http://kg.test/ontology#nation' AS pred,
-         b.node AS obj, true AS obj_is_uri
-  FROM nodes a JOIN nodes b USING (grp)
+  SELECT a.ord AS subj, 'http://kg.test/ontology#succ' AS pred,
+         b.ord AS obj, true AS obj_is_uri
+  FROM pos a JOIN pos b ON a.cust = b.cust AND b.rn > a.rn
 )
 SELECT DISTINCT subj, pred, obj, obj_is_uri FROM (
   SELECT * FROM base
