@@ -168,6 +168,7 @@ HEADLINE = [
     "robots_filter",
     "sparql_bind",
     "warc_roundtrip",
+    "sparql_text",
 ]
 
 
@@ -501,6 +502,18 @@ def main():
         "pages_per_sec": peak["pages_per_sec"],
     }
     print(json.dumps(result))
+
+    # ALSO persist the full result object: the driver's BENCH_r{N}
+    # artifact captures a bounded stdout tail, which truncated the
+    # 95-query map in r4 (VERDICT r4 item 8) — bench_result.json in
+    # the repo root is the complete, parseable record
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_result.json"), "w") as fh:
+            json.dump(result, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+    except OSError:
+        pass
 
     # append the scaling record to BENCH.md
     try:

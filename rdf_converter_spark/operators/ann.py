@@ -424,6 +424,12 @@ def pq_topk(
             corpus.orderBy("vec_id").limit(n_codes).collect(),
             key=lambda r: r["vec_id"],
         )
+    if len(cb_rows) < n_codes:
+        raise ValueError(
+            "pq_topk: corpus has %d vectors, fewer than n_codes=%d — "
+            "shrink n_codes or use brute_topk at this size"
+            % (len(cb_rows), n_codes)
+        )
     cbs = [
         [[float(x) for x in r["v"][s * sub:(s + 1) * sub]]
          for r in cb_rows]

@@ -448,6 +448,12 @@ def parse_jpeg_header(data: bytes):
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             return None
+        # T.81 B.1.1.2: any number of 0xFF fill bytes may pad before
+        # a marker; skip them so the next byte is the marker id
+        while pos + 4 <= n and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            return None
         m = data[pos + 1]
         if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
             pos += 2
@@ -494,6 +500,11 @@ def decode_jpeg(data: bytes):
     while pos + 4 <= n:
         if data[pos] != 0xFF:
             raise NotImplementedError("JPEG marker desync")
+        # skip 0xFF fill bytes (T.81 B.1.1.2 legal marker padding)
+        while pos + 4 <= n and data[pos + 1] == 0xFF:
+            pos += 1
+        if pos + 4 > n:
+            break
         m = data[pos + 1]
         if m == 0x01 or 0xD0 <= m <= 0xD7:
             pos += 2

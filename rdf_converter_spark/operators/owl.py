@@ -110,76 +110,119 @@ def owl_entail_lite(
         triples.filter(F.col("pred") == OWL_INVERSE_OF)
         .select(F.col("subj").alias("p"), F.col("obj").alias("q"))
     )
-    # both directions: inverseOf is symmetric in its own right
+    # both directions: inverseOf is symmetric in its own right.
+    # The axiom tables are ontology-sized by contract and probed
+    # EVERY fixpoint round — materialize them once (also severs the
+    # shared lineage with the corpus scan, which otherwise trips
+    # Catalyst's self-join attribute rewrite under AQE).
     inv2 = inv.unionByName(
         inv.select(F.col("q").alias("p"), F.col("p").alias("q"))
-    ).distinct()
+    ).distinct().localCheckpoint()
     sym = (
         triples.filter(
             (F.col("pred") == type_pred) & (F.col("obj") == OWL_SYMMETRIC))
         .select(F.col("subj").alias("p"))
-        .distinct()
+        .distinct().localCheckpoint()
     )
     trans = (
         triples.filter(
             (F.col("pred") == type_pred) & (F.col("obj") == OWL_TRANSITIVE))
         .select(F.col("subj").alias("p"))
-        .distinct()
+        .distinct().localCheckpoint()
     )
 
     uri_rows = triples.filter(F.col("obj_is_uri")).select(*cols)
-    r_inv = (
-        uri_rows.join(F.broadcast(inv2), uri_rows.pred == inv2.p)
-        .select(
+    # predicates governed by ANY axiom — the rule-relevant slice. The
+    # set is CLOSED under the rules (inverseOf maps inside inv2,
+    # symmetric/transitive keep the predicate), so no derivation ever
+    # leaves it and the rest of the corpus never enters the loop.
+    axiom_preds = (
+        inv2.select("p").unionByName(sym.select("p"))
+        .unionByName(trans.select("p")).distinct()
+    )
+    relevant = (
+        uri_rows.join(
+            F.broadcast(axiom_preds.withColumnRenamed("p", "pred")),
+            "pred", "left_semi")
+        .select(*cols)
+    )
+
+    # NAME-based join keys throughout the fixpoint: the axiom tables
+    # are probed on BOTH sides of the same join tree (td ⋈ ta below),
+    # and attribute-based conditions (df.pred == trans.p) break under
+    # Catalyst's self-join attribute dedup — observed as a "key not
+    # found" optimizer assert on small plans and as silently DROPPED
+    # join compositions at sf0.1 (the doubling closure degenerated to
+    # one-hop-per-round).
+    inv2_r = inv2.withColumnRenamed("p", "pred")
+    sym_r = sym.withColumnRenamed("p", "pred")
+    trans_r = trans.withColumnRenamed("p", "pred")
+
+    def d_inv(df):
+        return df.join(F.broadcast(inv2_r), "pred").select(
             F.col("obj").alias("subj"), F.col("q").alias("pred"),
             F.col("subj").alias("obj"),
         )
-    )
-    r_sym = (
-        uri_rows.join(F.broadcast(sym), uri_rows.pred == sym.p)
-        .select(
-            F.col("obj").alias("subj"), "pred", F.col("subj").alias("obj"),
-        )
-    )
-    # transitive closure per declared-transitive predicate: doubling
-    # over (pred, subj, obj) — inverse/symmetric derivations of the
-    # SAME predicate participate (the spec's fixpoint would too), so
-    # close over the union
-    t_edges = (
-        uri_rows.unionByName(r_inv).unionByName(r_sym)
-        .join(F.broadcast(trans), F.col("pred") == trans.p)
-        .select(*cols).distinct().localCheckpoint()
-    )
-    cur, n = t_edges, t_edges.count()
-    for _ in range(max_iter):
-        if n == 0:
-            break
-        hop = (
-            cur.alias("a")
-            .join(
-                cur.alias("b"),
-                (F.col("a.pred") == F.col("b.pred"))
-                & (F.col("a.obj") == F.col("b.subj")),
-            )
-            .select(
-                F.col("a.subj").alias("subj"), F.col("a.pred").alias("pred"),
-                F.col("b.obj").alias("obj"),
-            )
-        )
-        nxt = cur.unionByName(hop).distinct().localCheckpoint()
-        m = nxt.count()
-        if m == n:
-            break
-        cur, n = nxt, m
-    else:
-        raise ValueError(
-            "owl_entail_lite: transitive closure did not converge in "
-            "%d doubling rounds" % max_iter
+
+    def d_sym(df):
+        return df.join(F.broadcast(sym_r), "pred").select(
+            F.col("obj").alias("subj"), "pred",
+            F.col("subj").alias("obj"),
         )
 
-    derived = (
-        r_inv.unionByName(r_sym).unionByName(cur.select(*cols))
-        .withColumn("obj_is_uri", F.lit(True))
-    )
+    def t_slice(df):
+        return df.join(F.broadcast(trans_r), "pred", "left_semi")
+
+    # Semi-naive fixpoint over the three rules TOGETHER (single-pass
+    # application missed axiom interactions: 'p inverseOf q' + 'q a
+    # SymmetricProperty' needs the symmetric twin OF the
+    # inverse-derived edge; transitive closure outputs need their
+    # inverse edges). Each round applies every rule to the last
+    # round's DELTA only; transitive hops join delta against the
+    # accumulated closure in both orders (doubling rate), candidates
+    # are anti-joined against the closure, and the loop stops when a
+    # round derives nothing new — inverse/symmetric are involutions,
+    # so they quiesce in 2 rounds and the tail is the transitive
+    # chain doubling.
+    acc = relevant.distinct().localCheckpoint()
+    delta = acc
+    if acc.take(1):
+        for _ in range(max_iter):
+            cand = d_inv(delta).unionByName(d_sym(delta))
+            td, ta = t_slice(delta), t_slice(acc)
+            jc = (F.col("a.pred") == F.col("b.pred")) & (
+                F.col("a.obj") == F.col("b.subj"))
+            sel = [
+                F.col("a.subj").alias("subj"),
+                F.col("a.pred").alias("pred"),
+                F.col("b.obj").alias("obj"),
+            ]
+            cand = cand.unionByName(
+                td.alias("a").join(ta.alias("b"), jc).select(*sel))
+            if delta is not acc:
+                cand = cand.unionByName(
+                    ta.alias("a").join(td.alias("b"), jc).select(*sel))
+            new = (
+                cand.distinct()
+                .join(acc, on=cols, how="left_anti")
+                .localCheckpoint()
+            )
+            if not new.take(1):
+                break
+            # checkpoint the union too: acc is both a join input and
+            # the anti-join probe of the NEXT round's candidate plan,
+            # and a live union lineage there trips Catalyst's
+            # self-join attribute dedup ("key not found" assert). A
+            # localCheckpoint is a per-partition copy — no exchange,
+            # unlike the naive loop's per-round closure distinct().
+            acc = acc.unionByName(new).localCheckpoint()
+            delta = new
+        else:
+            raise ValueError(
+                "owl_entail_lite: rule fixpoint did not converge in "
+                "%d semi-naive rounds" % max_iter
+            )
+
+    derived = acc.withColumn("obj_is_uri", F.lit(True))
     base = triples.select(*cols, "obj_is_uri")
     return base.unionByName(derived).dropDuplicates()

@@ -5,8 +5,10 @@ A crawl-curation primitive: given a per-host ``robots.txt`` body and
 a URL table, decide which URLs a compliant crawler for a given agent
 may keep. Semantics follow the classic REP as standardized by RFC
 9309's core rules, minus wildcards: groups are runs of consecutive
-``User-agent`` lines followed by their rules; a group applies when it
-names the agent or ``*``; ``Allow``/``Disallow`` values are path
+``User-agent`` lines followed by their rules; per §2.2.1 a crawler
+obeys the MOST SPECIFIC matching groups — the groups naming the
+agent exactly when any exist for the host, else the ``*`` groups;
+``Allow``/``Disallow`` values are path
 prefixes; the LONGEST matching rule wins and ``Allow`` beats
 ``Disallow`` on ties; an empty ``Disallow:`` matches nothing; a URL
 with no matching rule (or no robots.txt at all) is allowed.
@@ -87,16 +89,26 @@ def parse_robots(
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    applies = (
+    # RFC 9309 §2.2.1 group selection: a crawler obeys the MOST
+    # SPECIFIC matching group(s) — groups naming the agent exactly
+    # when any exist for the host, otherwise the '*' groups. A '*'
+    # rule never leaks into a named agent's policy (r4 unioned both,
+    # letting a longer '*' Allow override a named Disallow).
+    per_group = (
         grouped.filter("is_ua")
         .groupBy("host", "group_id")
         .agg(
-            F.max(
-                (F.lower("value") == agent.lower())
-                | (F.col("value") == "*")
-            ).alias("applies")
+            F.max(F.lower("value") == agent.lower()).alias("named"),
+            F.max(F.col("value") == "*").alias("star"),
         )
-        .filter("applies")
+    )
+    host_w = Window.partitionBy("host")
+    applies = (
+        per_group
+        .withColumn("has_named", F.max("named").over(host_w))
+        .filter(
+            F.col("named") | (F.col("star") & ~F.col("has_named")))
+        .select("host", "group_id")
     )
     return (
         grouped.filter("is_rule")

@@ -1,0 +1,723 @@
+# -*- coding: utf-8 -*-
+"""SPARQL 1.1 *text* front-end over the pattern-list query surface.
+
+The engine's SPARQL semantics live in ``operators/bgp.py`` (BGP
+joins, OPTIONAL, FILTER, MINUS, VALUES, BIND, EXISTS, aggregates,
+solution modifiers) and take Python pattern lists. Users migrating
+from ``rdflib.Graph.query`` hold QUERY STRINGS — this module closes
+that gap: a tokenizer + recursive-descent parser for the SELECT /
+ASK / CONSTRUCT subset the engine executes, lowering onto the
+existing operators (the reference itself has no query surface at
+all — its consumers query the emitted graphs through rdflib, e.g.
+the graphs built by ``ld_converter.py:95-96``; this front-end is
+what lets those consumers keep their query strings).
+
+Supported grammar (fail-fast ``SparqlSyntaxError`` on anything
+outside it — never a silent wrong answer):
+
+- ``PREFIX``/``BASE`` declarations; ``<iri>``, ``pfx:local``, ``a``
+  (= rdf:type), ``"literal"`` (with ``\\"`` escapes), numeric
+  literals, ``?var``/``$var``.
+- ``SELECT [DISTINCT] ?v ... | * | (expr AS ?v)`` with aggregate
+  projections (COUNT/SUM/MIN/MAX/AVG/SAMPLE/GROUP_CONCAT),
+  ``ASK``, ``CONSTRUCT { template } WHERE { ... }``.
+- Group graph pattern: triple blocks with ``;`` predicate lists and
+  ``,`` object lists; ``OPTIONAL { }``; ``MINUS { }``;
+  ``FILTER (expr)`` / ``FILTER [NOT] EXISTS { }``;
+  ``BIND (expr AS ?v)``; ``VALUES ?v { ... }`` (single- and
+  multi-var row form); top-level ``{ } UNION { }``.
+- ``GROUP BY`` / ``HAVING`` / ``ORDER BY [ASC|DESC](?v)`` /
+  ``LIMIT`` / ``OFFSET``.
+- FILTER/BIND expressions are rewritten to Spark SQL: ``&&``/``||``
+  / ``!`` to AND/OR/NOT, ``REGEX(v, p)`` to RLIKE, ``BOUND(?v)`` to
+  IS NOT NULL, STRLEN/UCASE/LCASE/STRSTARTS/STRENDS/CONTAINS/STR to
+  their Spark builtins — then validated by ``bgp_match`` against the
+  bound variable set exactly like hand-passed filter strings.
+
+Out of scope, by design (raise): property paths in text form (use
+``operators/paths.py:path_match`` directly), named graphs in text
+form (``quad_match``), DESCRIBE text, federated SERVICE, subqueries
+in text form (``bgp.py`` executes them composed in Python).
+
+Scale shape: parsing is driver-side over a bounded query string
+(microseconds); everything executed is the SAME plan the pattern-
+list API builds — constants pushed to the scan,
+most-constrained-first join order, fail-fast cartesian check.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+from pyspark.sql import DataFrame
+
+from .bgp import (
+    ask, bgp_aggregate, bgp_match, bgp_union, construct,
+    solution_modifiers,
+)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+
+
+class SparqlSyntaxError(ValueError):
+    pass
+
+
+_TOKEN = re.compile(
+    r"""
+      (?P<ws>\s+|\#[^\n]*)
+    | (?P<iri><[^<>\s]*>)
+    | (?P<string>"(?:[^"\\]|\\.)*")
+    | (?P<var>[?$]\w+)
+    | (?P<pname>\w*:[\w.-]*)
+    | (?P<num>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
+    | (?P<word>[A-Za-z_]\w*)
+    | (?P<punct>&&|\|\||!=|<=|>=|[{}().;,*=<>!/+-])
+    """,
+    re.VERBOSE,
+)
+
+_KEYWORDS = {
+    "select", "ask", "construct", "where", "prefix", "base", "distinct",
+    "optional", "filter", "minus", "union", "bind", "values", "as",
+    "group", "having", "order", "by", "asc", "desc", "limit", "offset",
+    "exists", "not", "a", "true", "false", "undef", "in", "describe",
+    "reduced", "from", "named", "graph", "service",
+}
+
+_AGG_FNS = {"count", "sum", "min", "max", "avg", "sample", "group_concat"}
+
+# SPARQL builtin -> Spark SQL rewrite (callable takes arg strings)
+_FN_MAP = {
+    "strlen": lambda a: "length(%s)" % a[0],
+    "ucase": lambda a: "upper(%s)" % a[0],
+    "lcase": lambda a: "lower(%s)" % a[0],
+    "contains": lambda a: "contains(%s, %s)" % (a[0], a[1]),
+    "strstarts": lambda a: "startswith(%s, %s)" % (a[0], a[1]),
+    "strends": lambda a: "endswith(%s, %s)" % (a[0], a[1]),
+    "regex": lambda a: "(%s RLIKE %s)" % (a[0], a[1]),
+    "bound": lambda a: "(%s IS NOT NULL)" % a[0],
+    "str": lambda a: "CAST(%s AS STRING)" % a[0],
+    "substr": lambda a: "substring(%s)" % ", ".join(a),
+    "concat": lambda a: "concat(%s)" % ", ".join(a),
+    "abs": lambda a: "abs(%s)" % a[0],
+    "ceil": lambda a: "ceil(%s)" % a[0],
+    "floor": lambda a: "floor(%s)" % a[0],
+    "round": lambda a: "round(%s)" % a[0],
+    "coalesce": lambda a: "coalesce(%s)" % ", ".join(a),
+    "if": lambda a: "if(%s, %s, %s)" % (a[0], a[1], a[2]),
+    "sameterm": lambda a: "(%s = %s)" % (a[0], a[1]),
+    "isliteral": lambda a: a[0],  # handled specially below
+    "isiri": lambda a: a[0],
+    "isuri": lambda a: a[0],
+}
+
+
+def _tokenize(text: str) -> List[Tuple[str, str]]:
+    out = []
+    pos = 0
+    while pos < len(text):
+        m = _TOKEN.match(text, pos)
+        if not m:
+            raise SparqlSyntaxError(
+                "cannot tokenize SPARQL at %r" % text[pos:pos + 30])
+        pos = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        val = m.group()
+        if kind == "word" and val.lower() in _KEYWORDS:
+            kind = "kw"
+            val = val.lower()
+        out.append((kind, val))
+    out.append(("eof", ""))
+    return out
+
+
+class _P:
+    """Recursive-descent parser state."""
+
+    def __init__(self, text: str):
+        self.toks = _tokenize(text)
+        self.i = 0
+        self.prefixes: dict = {}
+        self.base = ""
+
+    # -- token plumbing -------------------------------------------------
+    def peek(self, k: int = 0) -> Tuple[str, str]:
+        return self.toks[min(self.i + k, len(self.toks) - 1)]
+
+    def next(self) -> Tuple[str, str]:
+        t = self.toks[self.i]
+        if t[0] != "eof":
+            self.i += 1
+        return t
+
+    def at_kw(self, *words: str) -> bool:
+        k, v = self.peek()
+        return k == "kw" and v in words
+
+    def eat_kw(self, word: str) -> None:
+        k, v = self.next()
+        if k != "kw" or v != word:
+            raise SparqlSyntaxError("expected %r, got %r" % (word, v))
+
+    def eat_punct(self, p: str) -> None:
+        k, v = self.next()
+        if k != "punct" or v != p:
+            raise SparqlSyntaxError("expected %r, got %r" % (p, v))
+
+    # -- terms ----------------------------------------------------------
+    def expand_pname(self, pname: str) -> str:
+        pfx, _, local = pname.partition(":")
+        if pfx not in self.prefixes:
+            raise SparqlSyntaxError("undeclared prefix %r" % pfx)
+        return self.prefixes[pfx] + local
+
+    def term(self) -> str:
+        """One RDF term in pattern position -> the engine's string
+        convention: ``?var`` stays, IRIs/literals become bare column
+        values (the triple table stores both unquoted)."""
+        k, v = self.next()
+        if k == "var":
+            return "?" + v[1:]
+        if k == "iri":
+            return self.base + v[1:-1]
+        if k == "pname":
+            return self.expand_pname(v)
+        if k == "string":
+            return _unescape(v[1:-1])
+        if k == "num":
+            return v
+        if k == "kw" and v == "a":
+            return RDF_TYPE
+        if k == "kw" and v in ("true", "false"):
+            return v
+        raise SparqlSyntaxError("expected an RDF term, got %r" % v)
+
+    # -- prologue -------------------------------------------------------
+    def prologue(self) -> None:
+        while self.at_kw("prefix", "base"):
+            _, v = self.next()
+            if v == "prefix":
+                k, p = self.next()
+                if k != "pname" or not p.endswith(":"):
+                    raise SparqlSyntaxError("bad PREFIX name %r" % p)
+                ki, iri = self.next()
+                if ki != "iri":
+                    raise SparqlSyntaxError("bad PREFIX IRI %r" % iri)
+                self.prefixes[p[:-1]] = self.base + iri[1:-1]
+            else:
+                ki, iri = self.next()
+                if ki != "iri":
+                    raise SparqlSyntaxError("bad BASE IRI %r" % iri)
+                self.base = iri[1:-1]
+
+    # -- triples block --------------------------------------------------
+    def triples_block(self) -> List[Tuple[str, str, str]]:
+        """subj pred obj (';' pred obj)* (',' obj)* '.'? — repeated."""
+        pats = []
+        while True:
+            k, v = self.peek()
+            if k in ("eof",) or (k == "punct" and v in ("}",)) or k == "kw":
+                break
+            s = self.term()
+            while True:
+                p = self.term()
+                while True:
+                    o = self.term()
+                    pats.append((s, p, o))
+                    if self.peek() == ("punct", ","):
+                        self.next()
+                        continue
+                    break
+                if self.peek() == ("punct", ";"):
+                    self.next()
+                    # dangling ';' before '.' or '}' is legal SPARQL
+                    nk, nv = self.peek()
+                    if nk == "punct" and nv in (".", "}"):
+                        break
+                    continue
+                break
+            if self.peek() == ("punct", "."):
+                self.next()
+        return pats
+
+    # -- expressions ----------------------------------------------------
+    def expr_string(self, stop_comma: bool = False) -> str:
+        """Consume a SPARQL expression, emitting a Spark SQL string
+        with ``?var`` references (validated downstream by bgp_match).
+        Stops at an unbalanced ')' (the caller's closer), at a
+        top-level ',' when ``stop_comma`` (builtin argument lists),
+        or at expression-terminating keywords."""
+        parts: List[str] = []
+        depth = 0
+        while True:
+            k, v = self.peek()
+            if k == "eof":
+                break
+            if k == "punct" and v == ")" and depth == 0:
+                break
+            if stop_comma and k == "punct" and v in (",", ";") \
+                    and depth == 0:
+                break
+            if k == "kw" and depth == 0 and v in (
+                "as", "group", "having", "order", "limit", "offset",
+                "filter", "optional", "minus", "bind", "values", "union",
+            ):
+                break
+            if k == "punct" and v == "}" and depth == 0:
+                break
+            self.next()
+            if k == "punct":
+                if v == "(":
+                    depth += 1
+                    parts.append("(")
+                elif v == ")":
+                    depth -= 1
+                    parts.append(")")
+                elif v == "&&":
+                    parts.append(" AND ")
+                elif v == "||":
+                    parts.append(" OR ")
+                elif v == "!":
+                    parts.append(" NOT ")
+                elif v == "!=":
+                    parts.append(" <> ")
+                else:
+                    parts.append(" %s " % v)
+            elif k == "var":
+                parts.append("?" + v[1:])
+            elif k == "string":
+                parts.append("'%s'" % _unescape(v[1:-1]).replace("'", "''"))
+            elif k == "num":
+                parts.append(v)
+            elif k == "kw" and v in ("true", "false"):
+                parts.append(v.upper())
+            elif k == "kw" and v in ("in", "not"):
+                parts.append(" %s " % v.upper())
+            elif k == "word":
+                fn = v.lower()
+                if fn in _FN_MAP and self.peek() == ("punct", "("):
+                    parts.append(self._builtin_call(fn))
+                else:
+                    parts.append(v)
+            elif k == "iri":
+                parts.append("'%s'" % (self.base + v[1:-1]))
+            elif k == "pname":
+                parts.append("'%s'" % self.expand_pname(v))
+            elif k == "kw":
+                # keywords inside nested calls (CAST(?x AS INT)) pass
+                # through; Spark's analyzer rejects genuine misuse
+                parts.append(" %s " % v.upper())
+            else:
+                raise SparqlSyntaxError(
+                    "unexpected %r in expression" % v)
+        expr = "".join(parts).strip()
+        if not expr:
+            raise SparqlSyntaxError("empty expression")
+        return expr
+
+    def _builtin_call(self, fn: str) -> str:
+        """Parse ``fn(arg, ...)`` where args are nested expressions."""
+        self.eat_punct("(")
+        args = []
+        if self.peek() != ("punct", ")"):
+            while True:
+                args.append(self.expr_string(stop_comma=True))
+                if self.peek() == ("punct", ","):
+                    self.next()
+                    continue
+                break
+        self.eat_punct(")")
+        if fn in ("isliteral", "isiri", "isuri"):
+            raise SparqlSyntaxError(
+                "%s() needs the obj_is_uri flag column — query the "
+                "triple table directly for term-kind tests" % fn.upper())
+        try:
+            return _FN_MAP[fn](args)
+        except IndexError:
+            raise SparqlSyntaxError(
+                "%s(): wrong argument count (%d)" % (fn.upper(), len(args)))
+
+    # -- group graph pattern --------------------------------------------
+    def group(self) -> dict:
+        """Parse ``{ ... }`` into the bgp_match argument bundle, or a
+        UNION of bundles."""
+        self.eat_punct("{")
+        g = {
+            "patterns": [], "optional": [], "filters": [], "minus": [],
+            "values": [], "exists": [], "not_exists": [], "binds": [],
+            "unions": None,
+        }
+        while True:
+            k, v = self.peek()
+            if k == "punct" and v == "}":
+                self.next()
+                break
+            if k == "punct" and v == "{":
+                # nested group: only the UNION form is supported in text
+                branches = [self._plain_group()]
+                while self.at_kw("union"):
+                    self.next()
+                    branches.append(self._plain_group())
+                if len(branches) < 2:
+                    raise SparqlSyntaxError(
+                        "nested group without UNION — flatten it or use "
+                        "the Python API for subqueries")
+                if g["patterns"] or g["unions"]:
+                    raise SparqlSyntaxError(
+                        "UNION mixed with other top-level patterns is "
+                        "not supported in text form")
+                g["unions"] = branches
+                continue
+            if k == "kw":
+                if v == "optional":
+                    self.next()
+                    g["optional"].append(self._plain_group()["patterns"])
+                    continue
+                if v == "minus":
+                    self.next()
+                    g["minus"].append(self._plain_group()["patterns"])
+                    continue
+                if v == "filter":
+                    self.next()
+                    if self.at_kw("exists"):
+                        self.next()
+                        g["exists"].append(self._plain_group()["patterns"])
+                    elif self.at_kw("not"):
+                        self.next()
+                        self.eat_kw("exists")
+                        g["not_exists"].append(
+                            self._plain_group()["patterns"])
+                    else:
+                        self.eat_punct("(")
+                        g["filters"].append(self.expr_string())
+                        self.eat_punct(")")
+                    continue
+                if v == "bind":
+                    self.next()
+                    self.eat_punct("(")
+                    expr = self.expr_string()
+                    self.eat_kw("as")
+                    vk, vv = self.next()
+                    if vk != "var":
+                        raise SparqlSyntaxError("BIND ... AS needs ?var")
+                    self.eat_punct(")")
+                    g["binds"].append((vv[1:], expr))
+                    continue
+                if v == "values":
+                    self.next()
+                    g["values"].extend(self._values_block())
+                    continue
+                if v in ("graph", "service"):
+                    raise SparqlSyntaxError(
+                        "%s blocks are not supported in text form — use "
+                        "quad_match for named graphs" % v.upper())
+                if v == "a":
+                    pass  # falls through to triples_block
+                else:
+                    raise SparqlSyntaxError(
+                        "unsupported keyword %r in group" % v)
+            pats = self.triples_block()
+            if not pats:
+                raise SparqlSyntaxError(
+                    "expected a triple pattern, got %r" % (self.peek(),))
+            g["patterns"].extend(pats)
+        return g
+
+    def _plain_group(self) -> dict:
+        g = self.group()
+        if g["unions"]:
+            raise SparqlSyntaxError(
+                "nested UNION inside OPTIONAL/MINUS/EXISTS is not "
+                "supported in text form")
+        return g
+
+    def _values_block(self) -> List[dict]:
+        """VALUES ?v { ... } or VALUES (?a ?b) { (..) (..) }."""
+        rows: List[dict] = []
+        k, v = self.peek()
+        if k == "var":
+            self.next()
+            name = v[1:]
+            self.eat_punct("{")
+            while self.peek() != ("punct", "}"):
+                if self.at_kw("undef"):
+                    raise SparqlSyntaxError("UNDEF is not supported")
+                rows.append({name: self.term()})
+            self.next()
+            return rows
+        self.eat_punct("(")
+        names = []
+        while self.peek()[0] == "var":
+            names.append(self.next()[1][1:])
+        self.eat_punct(")")
+        if not names:
+            raise SparqlSyntaxError("VALUES needs at least one variable")
+        self.eat_punct("{")
+        while self.peek() != ("punct", "}"):
+            self.eat_punct("(")
+            row = {}
+            for n in names:
+                if self.at_kw("undef"):
+                    raise SparqlSyntaxError("UNDEF is not supported")
+                row[n] = self.term()
+            self.eat_punct(")")
+            rows.append(row)
+        self.next()
+        return rows
+
+
+def _unescape(s: str) -> str:
+    return (
+        s.replace("\\\"", "\"").replace("\\n", "\n").replace("\\t", "\t")
+        .replace("\\r", "\r").replace("\\\\", "\\")
+    )
+
+
+def parse_query(text: str) -> dict:
+    """Parse a SPARQL query string into an execution spec dict
+    (pure parsing — no Spark). Raises :class:`SparqlSyntaxError`
+    outside the supported subset."""
+    p = _P(text)
+    p.prologue()
+    k, v = p.next()
+    if (k, v) == ("kw", "select"):
+        spec = {"form": "select"}
+        spec["distinct"] = False
+        if p.at_kw("distinct"):
+            p.next()
+            spec["distinct"] = True
+        elif p.at_kw("reduced"):
+            p.next()  # REDUCED may drop dups; treating as plain is legal
+        proj: List[Tuple[str, Optional[str]]] = []
+        star = False
+        while True:
+            tk, tv = p.peek()
+            if tk == "var":
+                p.next()
+                proj.append((tv[1:], None))
+            elif (tk, tv) == ("punct", "*"):
+                p.next()
+                star = True
+            elif (tk, tv) == ("punct", "("):
+                p.next()
+                expr = _proj_expr(p)
+                p.eat_kw("as")
+                vk, vv = p.next()
+                if vk != "var":
+                    raise SparqlSyntaxError("(expr AS ?var) needs ?var")
+                p.eat_punct(")")
+                proj.append((vv[1:], expr))
+            else:
+                break
+        if not star and not proj:
+            raise SparqlSyntaxError("SELECT needs a projection")
+        spec["star"] = star
+        spec["projection"] = proj
+        if p.at_kw("where"):
+            p.next()
+        spec["group"] = p.group()
+        _modifiers(p, spec)
+    elif (k, v) == ("kw", "ask"):
+        spec = {"form": "ask"}
+        if p.at_kw("where"):
+            p.next()
+        spec["group"] = p.group()
+    elif (k, v) == ("kw", "construct"):
+        spec = {"form": "construct"}
+        tmpl_group = p._plain_group()
+        if (tmpl_group["optional"] or tmpl_group["filters"]
+                or tmpl_group["minus"] or tmpl_group["binds"]
+                or tmpl_group["values"]):
+            raise SparqlSyntaxError(
+                "CONSTRUCT template must be plain triples")
+        spec["template"] = tmpl_group["patterns"]
+        p.eat_kw("where")
+        spec["group"] = p.group()
+        _modifiers(p, spec)
+    elif (k, v) == ("kw", "describe"):
+        raise SparqlSyntaxError(
+            "DESCRIBE text form unsupported — call bgp.describe directly")
+    else:
+        raise SparqlSyntaxError("expected SELECT/ASK/CONSTRUCT, got %r" % v)
+    if p.peek()[0] != "eof":
+        raise SparqlSyntaxError(
+            "trailing tokens after query: %r" % (p.peek(),))
+    return spec
+
+
+def _proj_expr(p: _P) -> str:
+    """Projection expression: either an aggregate call (kept in
+    SPARQL-ish text for bgp_aggregate) or a scalar expression."""
+    k, v = p.peek()
+    if k == "word" and v.lower() in _AGG_FNS:
+        fn = p.next()[1].lower()
+        p.eat_punct("(")
+        inner = []
+        if p.at_kw("distinct"):
+            p.next()
+            inner.append("DISTINCT")
+        if p.peek() == ("punct", "*"):
+            p.next()
+            inner.append("*")
+        elif p.peek() != ("punct", ")"):
+            inner.append(p.expr_string(stop_comma=True))
+        sep = None
+        if p.peek() == ("punct", ";"):  # GROUP_CONCAT(?x; SEPARATOR="-")
+            p.next()
+            wk, wv = p.next()
+            if not (wk == "word" and wv.lower() == "separator"):
+                raise SparqlSyntaxError("expected SEPARATOR, got %r" % wv)
+            p.eat_punct("=")
+            sk, sv = p.next()
+            if sk != "string":
+                raise SparqlSyntaxError("SEPARATOR needs a string")
+            sep = _unescape(sv[1:-1])
+        p.eat_punct(")")
+        if fn == "group_concat":
+            arg = inner[-1]
+            # deterministic form: sorted collect, engine-neutral
+            return ("array_join(sort_array(collect_list(%s)), '%s')"
+                    % (arg, (sep if sep is not None else " ")
+                       .replace("'", "''")))
+        if fn == "sample":
+            return "min(%s)" % inner[-1]  # deterministic SAMPLE
+        return "%s(%s)" % (fn, " ".join(inner))
+    return p.expr_string()
+
+
+def _modifiers(p: _P, spec: dict) -> None:
+    spec.update({"group_by": [], "having": None, "order_by": [],
+                 "limit": None, "offset": 0})
+    while True:
+        if p.at_kw("group"):
+            p.next()
+            p.eat_kw("by")
+            while p.peek()[0] == "var":
+                spec["group_by"].append(p.next()[1][1:])
+            if not spec["group_by"]:
+                raise SparqlSyntaxError("GROUP BY needs variables")
+        elif p.at_kw("having"):
+            p.next()
+            p.eat_punct("(")
+            spec["having"] = p.expr_string()
+            p.eat_punct(")")
+        elif p.at_kw("order"):
+            p.next()
+            p.eat_kw("by")
+            while True:
+                tk, tv = p.peek()
+                if tk == "var":
+                    p.next()
+                    spec["order_by"].append(tv[1:])
+                elif tk == "kw" and tv in ("asc", "desc"):
+                    p.next()
+                    p.eat_punct("(")
+                    vk, vv = p.next()
+                    if vk != "var":
+                        raise SparqlSyntaxError("ORDER BY needs ?var")
+                    p.eat_punct(")")
+                    spec["order_by"].append(
+                        ("-" if tv == "desc" else "") + vv[1:])
+                else:
+                    break
+            if not spec["order_by"]:
+                raise SparqlSyntaxError("ORDER BY needs sort keys")
+        elif p.at_kw("limit"):
+            p.next()
+            nk, nv = p.next()
+            if nk != "num":
+                raise SparqlSyntaxError("LIMIT needs an integer")
+            spec["limit"] = int(nv)
+        elif p.at_kw("offset"):
+            p.next()
+            nk, nv = p.next()
+            if nk != "num":
+                raise SparqlSyntaxError("OFFSET needs an integer")
+            spec["offset"] = int(nv)
+        else:
+            break
+
+
+def _exec_group(triples: DataFrame, g: dict) -> DataFrame:
+    if g["unions"]:
+        if any(g[x] for x in
+               ("optional", "filters", "minus", "values", "exists",
+                "not_exists", "binds")):
+            raise SparqlSyntaxError(
+                "UNION mixed with group-level modifiers is not "
+                "supported in text form")
+        return bgp_union(
+            triples,
+            [b["patterns"] for b in g["unions"]],
+            filters=[b["filters"] for b in g["unions"]],
+        )
+    return bgp_match(
+        triples, g["patterns"], optional=g["optional"],
+        filters=g["filters"], minus=g["minus"], values=g["values"],
+        exists=g["exists"], not_exists=g["not_exists"], binds=g["binds"],
+    )
+
+
+def sparql_query(triples: DataFrame, text: str):
+    """Execute a SPARQL query STRING against a ``(subj, pred, obj)``
+    triple DataFrame. SELECT/CONSTRUCT return a DataFrame; ASK
+    returns a bool — the ``rdflib.Graph.query`` migration surface."""
+    spec = parse_query(text)
+    g = spec["group"]
+    if spec["form"] == "ask":
+        if g["unions"]:
+            return any(
+                ask(triples, b["patterns"], filters=b["filters"])
+                for b in g["unions"])
+        return ask(triples, g["patterns"], optional=g["optional"],
+                   filters=g["filters"], minus=g["minus"],
+                   values=g["values"])
+    if spec["form"] == "construct":
+        out = construct(triples, g["patterns"], spec["template"],
+                        optional=g["optional"])
+        # CONSTRUCT ignores SELECT-style projection; modifiers apply
+        return solution_modifiers(
+            out, order_by=[c for c in spec["order_by"]],
+            limit=spec["limit"], offset=spec["offset"])
+
+    exprs = [(n, e) for n, e in spec["projection"] if e is not None]
+    has_agg = bool(spec["group_by"]) or any(
+        re.match(r"\s*(count|sum|min|max|avg|array_join)\s*\(", e,
+                 re.IGNORECASE)
+        for _, e in exprs)
+    if has_agg:
+        if spec["star"]:
+            raise SparqlSyntaxError("SELECT * with aggregates")
+        aggregates = {n: e for n, e in exprs}
+        plain = [n for n, e in spec["projection"] if e is None]
+        bad = [n for n in plain if n not in spec["group_by"]]
+        if bad:
+            raise SparqlSyntaxError(
+                "projected variables %s are neither grouped nor "
+                "aggregated" % bad)
+        out = bgp_aggregate(
+            triples, g["patterns"], group_by=spec["group_by"],
+            aggregates=aggregates, having=spec["having"],
+            optional=g["optional"], filters=g["filters"],
+            minus=g["minus"], values=g["values"],
+        )
+        cols = [n for n, _ in spec["projection"]]
+        out = out.select(*cols) if cols else out
+    else:
+        out = _exec_group(triples, g)
+        if exprs:
+            from pyspark.sql import functions as F
+
+            from .bgp import _FILTER_VAR
+            for n, e in exprs:
+                out = out.withColumn(
+                    n, F.expr(_FILTER_VAR.sub(r"`\1`", e)))
+        if not spec["star"]:
+            out = out.select(*[n for n, _ in spec["projection"]])
+    return solution_modifiers(
+        out, distinct=spec["distinct"], order_by=spec["order_by"],
+        limit=spec["limit"], offset=spec["offset"])

@@ -132,3 +132,19 @@ def test_lossy_422_bounded():
     out = decode_jpeg(encode_jpeg(img, quality=95, subsampling="422"))
     err = np.abs(out.astype(int) - img.astype(int))
     assert err.max() <= 40 and err.mean() <= 8
+
+
+def test_fill_bytes_before_markers():
+    """T.81 B.1.1.2: 0xFF fill bytes may pad before any marker; the
+    header walk and the full decode must skip them (ADVICE r4 — they
+    were read as marker ids with bogus lengths)."""
+    rgb = _const_block_image(3, 2, seed=5)
+    data = encode_jpeg(rgb, subsampling="420", quant_tables=_dc8_tables())
+    # pad the first DQT marker (right after SOI) with two fill bytes
+    assert data[2:4] == b"\xff\xdb" or b"\xff\xdb" in data
+    i = data.index(b"\xff\xdb")
+    padded = data[:i] + b"\xff\xff" + data[i:]
+    hdr = parse_jpeg_header(padded)
+    assert hdr is not None and (hdr["width"], hdr["height"]) == (
+        rgb.shape[1], rgb.shape[0])
+    assert np.array_equal(decode_jpeg(padded), rgb)

@@ -236,6 +236,40 @@ def test_owl_transitive_chain_and_symmetric_interplay(spark):
             assert (x, "part", y) in got, (x, y)
 
 
+def test_owl_inverse_symmetric_interaction(spark):
+    """ADVICE r4: 'p inverseOf q' + 'q a SymmetricProperty' — the
+    symmetric rule must fire on the inverse-DERIVED q-edge (and its
+    inverse back through p), not just on asserted triples."""
+    from rdf_converter_spark.operators.owl import owl_entail_lite
+
+    t = _owl(spark, [
+        ("p", OWL + "inverseOf", "q", True),
+        ("q", RDF_T, OWL + "SymmetricProperty", True),
+        ("a", "p", "b", True),
+    ])
+    got = _triples_set(owl_entail_lite(t))
+    assert ("b", "q", "a") in got      # inverse of the asserted edge
+    assert ("a", "q", "b") in got      # symmetric twin of the DERIVED edge
+    assert ("b", "p", "a") in got      # inverse of that twin
+    assert ("a", "p", "b") in got
+
+
+def test_owl_transitive_inverse_interaction(spark):
+    """Transitive-closure outputs of p must produce inverse q-edges."""
+    from rdf_converter_spark.operators.owl import owl_entail_lite
+
+    t = _owl(spark, [
+        ("p", RDF_T, OWL + "TransitiveProperty", True),
+        ("p", OWL + "inverseOf", "q", True),
+        ("a", "p", "b", True),
+        ("b", "p", "c", True),
+    ])
+    got = _triples_set(owl_entail_lite(t))
+    assert ("a", "p", "c") in got      # chain closure
+    assert ("c", "q", "a") in got      # inverse of the CLOSURE edge
+    assert ("c", "q", "b") in got and ("b", "q", "a") in got
+
+
 def test_owl_no_axioms_is_identity(spark):
     from rdf_converter_spark.operators.owl import owl_entail_lite
 

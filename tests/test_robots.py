@@ -45,10 +45,11 @@ def test_parse_group_selection(robots):
     assert a == {("/private", False), ("/private/ok", True)}
     bad = parse_robots(robots, agent="badbot").collect()
     assert {(r.host, r.rule_path) for r in bad} == {
+        # RFC 9309 §2.2.1: a.example HAS a badbot group, so only that
+        # group applies ('*' rules never leak into a named agent's
+        # policy); b.example has no badbot group -> '*' fallback
         ("a.example", "/"),
-        # '*' group also applies to any named agent
-        ("a.example", "/private"), ("a.example", "/private/ok"),
-        ("b.example", "/a"), ("b.example", "/a"),
+        ("b.example", "/a"),
     }
 
 
@@ -84,8 +85,26 @@ def test_named_agent_beats_star_group(spark):
     ])
     got = {r.doc_id: r.allowed
            for r in robots_filter(urls, robots, agent="mybot").collect()}
-    # both groups apply to mybot (named group AND the * group)
-    assert got == {1: False, 2: False}
+    # RFC 9309 §2.2.1: mybot has a named group, so ONLY it applies —
+    # the '*' group's Disallow does not bind mybot
+    assert got == {1: False, 2: True}
     star = {r.doc_id: r.allowed
             for r in robots_filter(urls, robots).collect()}
     assert star == {1: True, 2: False}
+
+
+def test_star_allow_cannot_override_named_disallow(spark):
+    """The ADVICE r4 failure mode: a LONGER Allow in the '*' group
+    must not override a named group's Disallow for that agent."""
+    robots = spark.createDataFrame(
+        [("h.example",
+          "User-agent: mybot\nDisallow: /secret\n\n"
+          "User-agent: *\nAllow: /secret/public\n")],
+        ["host", "robots_txt"],
+    )
+    urls = _urls(spark, [(1, "http://h.example/secret/public/x")])
+    got = robots_filter(urls, robots, agent="mybot").collect()[0]
+    assert got.allowed is False and got.rule_path == "/secret"
+    # for every OTHER agent the '*' group is the policy: allowed
+    other = robots_filter(urls, robots, agent="elsebot").collect()[0]
+    assert other.allowed is True

@@ -1,0 +1,190 @@
+# -*- coding: utf-8 -*-
+"""SPARQL text front-end (operators/sparql_text.py): the string ->
+pattern-list lowering must execute the same semantics the Python API
+exposes — verified per feature against hand-built expected sets."""
+
+import pytest
+
+from rdf_converter_spark.operators.sparql_text import (
+    SparqlSyntaxError, parse_query, sparql_query,
+)
+
+RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+EX = "http://ex.org/"
+
+
+@pytest.fixture()
+def kg(spark):
+    rows = [
+        (EX + "alice", RDF_TYPE, EX + "Person", True),
+        (EX + "alice", EX + "name", "Alice", False),
+        (EX + "alice", EX + "age", "34", False),
+        (EX + "alice", EX + "knows", EX + "bob", True),
+        (EX + "bob", RDF_TYPE, EX + "Person", True),
+        (EX + "bob", EX + "name", "Bob", False),
+        (EX + "bob", EX + "age", "7", False),
+        (EX + "carol", RDF_TYPE, EX + "Robot", True),
+        (EX + "carol", EX + "name", "Carol", False),
+    ]
+    return spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_is_uri boolean"
+    )
+
+
+def _set(df):
+    return {tuple(r) for r in df.collect()}
+
+
+def test_select_basic_prefix_and_a(kg):
+    out = sparql_query(kg, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?p ?n WHERE { ?p a ex:Person ; ex:name ?n . }
+    """)
+    assert _set(out) == {(EX + "alice", "Alice"), (EX + "bob", "Bob")}
+
+
+def test_filter_regex_and_comparison(kg):
+    out = sparql_query(kg, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?n WHERE {
+          ?p ex:name ?n ; ex:age ?a .
+          FILTER (regex(?n, "^A") || CAST(?a AS INT) < 10)
+        }
+    """)
+    assert _set(out) == {("Alice",), ("Bob",)}
+
+
+def test_optional_null_and_bound(kg):
+    out = sparql_query(kg, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?p ?k WHERE {
+          ?p a ex:Person .
+          OPTIONAL { ?p ex:knows ?k }
+        }
+    """)
+    assert _set(out) == {
+        (EX + "alice", EX + "bob"), (EX + "bob", None)}
+
+
+def test_union(kg):
+    out = sparql_query(kg, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?p WHERE {
+          { ?p a ex:Robot } UNION { ?p ex:knows ?o }
+        }
+    """)
+    assert _set(out) == {(EX + "carol",), (EX + "alice",)}
+
+
+def test_values_and_bind(kg):
+    out = sparql_query(kg, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?n ?tag WHERE {
+          ?p ex:name ?n .
+          VALUES ?n { "Alice" "Carol" }
+          BIND (CONCAT(?n, "!") AS ?tag)
+        }
+    """)
+    assert _set(out) == {("Alice", "Alice!"), ("Carol", "Carol!")}
+
+
+def test_minus_and_not_exists(kg):
+    base = """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?p WHERE {
+          ?p a ex:Person .
+          %s { ?p ex:knows ?x }
+        }
+    """
+    for clause in ("MINUS", "FILTER NOT EXISTS"):
+        out = sparql_query(kg, base % clause)
+        assert _set(out) == {(EX + "bob",)}, clause
+
+
+def test_aggregate_group_by_having(kg):
+    out = sparql_query(kg, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?t (COUNT(*) AS ?n) WHERE {
+          ?p a ?t .
+        } GROUP BY ?t HAVING (COUNT(*) >= 2)
+    """)
+    assert _set(out) == {(EX + "Person", 2)}
+
+
+def test_group_concat_separator(kg):
+    out = sparql_query(kg, """
+        PREFIX ex: <http://ex.org/>
+        SELECT (GROUP_CONCAT(?n; SEPARATOR="|") AS ?ns) WHERE {
+          ?p a ex:Person ; ex:name ?n .
+        }
+    """)
+    assert _set(out) == {("Alice|Bob",)}
+
+
+def test_order_limit_offset(kg):
+    out = sparql_query(kg, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?n WHERE { ?p ex:name ?n }
+        ORDER BY DESC(?n) LIMIT 2 OFFSET 1
+    """)
+    assert [r.n for r in out.collect()] == ["Bob", "Alice"]
+
+
+def test_distinct(kg):
+    out = sparql_query(kg, """
+        PREFIX ex: <http://ex.org/>
+        SELECT DISTINCT ?t WHERE { ?p a ?t }
+    """)
+    assert _set(out) == {(EX + "Person",), (EX + "Robot",)}
+
+
+def test_ask(kg):
+    q = "PREFIX ex: <http://ex.org/> ASK { ?p a ex:%s }"
+    assert sparql_query(kg, q % "Robot") is True
+    assert sparql_query(kg, q % "Dragon") is False
+
+
+def test_construct(kg):
+    out = sparql_query(kg, """
+        PREFIX ex: <http://ex.org/>
+        CONSTRUCT { ?p ex:label ?n } WHERE { ?p a ex:Robot ; ex:name ?n }
+    """)
+    assert _set(out) == {(EX + "carol", EX + "label", "Carol")}
+
+
+def test_comments_and_dollar_vars(kg):
+    out = sparql_query(kg, """
+        PREFIX ex: <http://ex.org/>  # prologue comment
+        SELECT $n WHERE {
+          $p ex:name $n .  # trailing comment
+        }
+    """)
+    assert _set(out) == {("Alice",), ("Bob",), ("Carol",)}
+
+
+@pytest.mark.parametrize("bad, msg", [
+    ("SELECT ?x WHERE { ?x foaf:name ?n }", "undeclared prefix"),
+    ("SELECT WHERE { ?x ?p ?o }", "projection"),
+    ("PREFIX ex: <http://ex.org/> SELECT ?x WHERE "
+     "{ VALUES ?x { UNDEF } }", "UNDEF"),
+    ("PREFIX ex: <http://ex.org/> SELECT ?x WHERE "
+     "{ GRAPH ex:g { ?x a ex:Person } }", "quad_match"),
+    ("DESCRIBE <http://ex.org/alice>", "DESCRIBE"),
+    ("PREFIX ex: <http://ex.org/> SELECT ?x ?y WHERE "
+     "{ ?x a ex:Person . ?y a ex:Robot }", "cartesian"),
+])
+def test_errors(kg, bad, msg):
+    with pytest.raises((SparqlSyntaxError, ValueError), match=msg):
+        df = sparql_query(kg, bad)
+        if hasattr(df, "collect"):
+            df.collect()
+
+
+def test_parse_is_pure():
+    spec = parse_query("""
+        PREFIX ex: <http://ex.org/>
+        SELECT ?s WHERE { ?s ex:p "lit with \\"quote\\"" } LIMIT 3
+    """)
+    assert spec["limit"] == 3
+    assert spec["group"]["patterns"] == [
+        ("?s", EX + "p", 'lit with "quote"')]
