@@ -3230,6 +3230,44 @@ ORDER BY cust, order_uri
 """ % _KG_TPCH_ORACLE
 
 
+_SPARQL_TEXT_PATH_QUERY = """
+PREFIX ont: <http://kg.test/ontology#>
+SELECT ?o ?n
+WHERE {
+  ?o ont:by/ont:nation ?n .
+  ?n ont:region "EUROPE" .
+}
+ORDER BY ?o ?n
+"""
+
+
+def q_sparql_text_path(spark, sf_dir):
+    """Property path in SPARQL TEXT form (operators/sparql_text.py ->
+    operators/paths.py): the sequence path ont:by/ont:nation walks
+    order -> customer -> nation in one predicate position; the parser
+    lowers it to a path_match relation joined into the BGP through
+    bgp_match(relations=...). The oracle is the equivalent two-join
+    SQL over the identical triple CTE."""
+    from rdf_converter_spark.operators.sparql_text import sparql_query
+
+    kg = _kg_store(spark, sf_dir)
+    return sparql_query(kg, _SPARQL_TEXT_PATH_QUERY)
+
+
+_SPARQL_TEXT_PATH_ORACLE = """
+WITH kg AS (%s)
+SELECT b.subj AS o, nt.obj AS n
+FROM kg b
+JOIN kg nt ON nt.subj = b.obj
+          AND nt.pred = 'http://kg.test/ontology#nation'
+JOIN kg rg ON rg.subj = nt.obj
+          AND rg.pred = 'http://kg.test/ontology#region'
+          AND rg.obj = 'EUROPE'
+WHERE b.pred = 'http://kg.test/ontology#by'
+ORDER BY o, n
+""" % _KG_TPCH_ORACLE
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: KG triple construction
     over the star schema via the engine's emission operators."""
@@ -3280,6 +3318,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jpeg_pipeline": q_jpeg_pipeline,
         # -- new in r5 -------------------------------------------------
         "sparql_text": q_sparql_text,
+        "sparql_text_path": q_sparql_text_path,
         # -- last verified in CORRECTNESS_r03 --------------------------
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_clusters": q_near_dup_clusters,
@@ -3450,6 +3489,7 @@ def oracle_sql() -> dict[str, str]:
     return {
         "kg_tpch_triples": _KG_TPCH_ORACLE,
         "sparql_text": _SPARQL_TEXT_ORACLE,
+        "sparql_text_path": _SPARQL_TEXT_PATH_ORACLE,
         "bgp_match": _BGP_ORACLE,
         "bgp_optional": _BGP_OPTIONAL_ORACLE,
         "property_table": _PROPERTY_TABLE_ORACLE,

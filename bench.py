@@ -169,6 +169,7 @@ HEADLINE = [
     "sparql_bind",
     "warc_roundtrip",
     "sparql_text",
+    "sparql_text_path",
 ]
 
 

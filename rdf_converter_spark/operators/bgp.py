@@ -86,9 +86,17 @@ def bgp_match(
     exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
     not_exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
     binds: Sequence[Tuple[str, str]] = (),
+    relations: Sequence[DataFrame] = (),
     _positions: Sequence[str] = _POS,
 ) -> DataFrame:
     """Match a basic graph pattern against ``triples``.
+
+    ``relations`` takes pre-computed binding relations (one column
+    per variable, e.g. a :func:`operators.paths.path_match` result
+    for a property-path triple pattern) joined into the solution
+    after the triple patterns, under the same
+    shared-variable-or-raise connectivity rule — this is how the
+    text front-end mixes paths into a BGP.
 
     ``patterns`` is a sequence of ``(s, p, o)`` tuples; a term
     starting with ``?`` is a variable, anything else is a constant
@@ -162,7 +170,7 @@ def bgp_match(
     SPARQL's error-is-false rule.
     """
     pats = list(patterns)
-    if not pats:
+    if not pats and not relations:
         raise ValueError("empty basic graph pattern")
     # greedy most-constrained-first with a connectivity constraint
     pending = sorted(
@@ -192,6 +200,19 @@ def bgp_match(
             bound = rel
         else:
             shared = sorted(bound_vars & set(rel.columns))
+            bound = bound.join(rel, on=shared)
+        bound_vars |= set(rel.columns)
+    for rel in relations:
+        if bound is None:
+            bound = rel
+        else:
+            shared = sorted(bound_vars & set(rel.columns))
+            if not shared:
+                raise ValueError(
+                    "pre-computed relation with columns %s shares no "
+                    "variable with the bound pattern %r (would be a "
+                    "cartesian product)"
+                    % (rel.columns, sorted(bound_vars)))
             bound = bound.join(rel, on=shared)
         bound_vars |= set(rel.columns)
     for group in optional:
@@ -357,6 +378,7 @@ def construct(
     patterns: Sequence[Tuple[str, str, str]],
     template: Sequence[Tuple[str, str, str]],
     optional: Sequence[Sequence[Tuple[str, str, str]]] = (),
+    relations: Sequence[DataFrame] = (),
 ) -> DataFrame:
     """SPARQL ``CONSTRUCT``: match the BGP (with optional groups),
     instantiate each ``template`` triple from the solution bindings,
@@ -377,7 +399,7 @@ def construct(
     ``distinct`` (CONSTRUCT returns a set-semantics graph)."""
     if not template:
         raise ValueError("empty CONSTRUCT template")
-    sols = bgp_match(triples, patterns, optional)
+    sols = bgp_match(triples, patterns, optional, relations=relations)
 
     def term(t: str):
         return F.col(t[1:]) if _is_var(t) else F.lit(t)
@@ -486,6 +508,7 @@ def bgp_aggregate(
     filters: Sequence[str] = (),
     minus: Sequence[Sequence[Tuple[str, str, str]]] = (),
     values: Sequence[dict] = (),
+    relations: Sequence[DataFrame] = (),
 ) -> DataFrame:
     """SPARQL GROUP BY + aggregates + HAVING over a BGP.
 
@@ -509,7 +532,8 @@ def bgp_aggregate(
     same physics as any production GROUP BY at 10^12 rows."""
     if not aggregates:
         raise ValueError("bgp_aggregate needs at least one aggregate")
-    sols = bgp_match(triples, patterns, optional, filters, minus, values)
+    sols = bgp_match(triples, patterns, optional, filters, minus, values,
+                     relations=relations)
     keys = [g.lstrip("?") for g in group_by]
     for k in keys:
         if k not in sols.columns:
@@ -538,6 +562,7 @@ def ask(
     filters: Sequence[str] = (),
     minus: Sequence[Sequence[Tuple[str, str, str]]] = (),
     values: Sequence[dict] = (),
+    relations: Sequence[DataFrame] = (),
 ) -> bool:
     """SPARQL ``ASK``: does the pattern have at least one solution?
 
@@ -546,7 +571,8 @@ def ask(
     first non-empty partition — the cost is one probe, not one full
     BGP evaluation. (The one-row fetch is a driver action by nature;
     ASK returns a scalar.)"""
-    sols = bgp_match(triples, patterns, optional, filters, minus, values)
+    sols = bgp_match(triples, patterns, optional, filters, minus, values,
+                     relations=relations)
     return bool(sols.limit(1).take(1))
 
 

@@ -28,16 +28,23 @@ outside it — never a silent wrong answer):
   multi-var row form); top-level ``{ } UNION { }``.
 - ``GROUP BY`` / ``HAVING`` / ``ORDER BY [ASC|DESC](?v)`` /
   ``LIMIT`` / ``OFFSET``.
+- Property paths in predicate position of the MAIN where group
+  (``^``, ``/``, ``|``, ``+``, ``*``, ``?``, ``!(...)`` negated
+  sets, grouping parens) — lowered to
+  ``operators/paths.py:path_match`` relations and joined into the
+  BGP via ``bgp_match(relations=...)``.
+- ``DESCRIBE <iri>`` (pushed-down subject point filter) and
+  ``DESCRIBE ?v WHERE { plain patterns }`` (``bgp.describe``).
 - FILTER/BIND expressions are rewritten to Spark SQL: ``&&``/``||``
   / ``!`` to AND/OR/NOT, ``REGEX(v, p)`` to RLIKE, ``BOUND(?v)`` to
   IS NOT NULL, STRLEN/UCASE/LCASE/STRSTARTS/STRENDS/CONTAINS/STR to
   their Spark builtins — then validated by ``bgp_match`` against the
   bound variable set exactly like hand-passed filter strings.
 
-Out of scope, by design (raise): property paths in text form (use
-``operators/paths.py:path_match`` directly), named graphs in text
-form (``quad_match``), DESCRIBE text, federated SERVICE, subqueries
-in text form (``bgp.py`` executes them composed in Python).
+Out of scope, by design (raise): named graphs in text form
+(``quad_match``), federated SERVICE, subqueries in text form
+(``bgp.py`` executes them composed in Python), property paths
+inside OPTIONAL/MINUS/EXISTS groups or UNION branches.
 
 Scale shape: parsing is driver-side over a bounded query string
 (microseconds); everything executed is the SAME plan the pattern-
@@ -73,7 +80,7 @@ _TOKEN = re.compile(
     | (?P<pname>\w*:[\w.-]*)
     | (?P<num>[+-]?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?)
     | (?P<word>[A-Za-z_]\w*)
-    | (?P<punct>&&|\|\||!=|<=|>=|[{}().;,*=<>!/+-])
+    | (?P<punct>&&|\|\||!=|<=|>=|[{}().;,*=<>!/+^?|-])
     """,
     re.VERBOSE,
 )
@@ -214,9 +221,124 @@ class _P:
                     raise SparqlSyntaxError("bad BASE IRI %r" % iri)
                 self.base = iri[1:-1]
 
+    # -- property paths in predicate position ---------------------------
+    def _path_iri(self) -> str:
+        k, v = self.next()
+        if k == "iri":
+            return self.base + v[1:-1]
+        if k == "pname":
+            return self.expand_pname(v)
+        if k == "kw" and v == "a":
+            return RDF_TYPE
+        raise SparqlSyntaxError(
+            "expected an IRI inside a property path, got %r" % v)
+
+    def _path_text(self, first: "str | None" = None) -> str:
+        """Consume a SPARQL 1.1 property-path expression, emitting
+        the ``operators/paths.py`` text form (every IRI expanded and
+        ``<>``-wrapped). ``first`` is an already-consumed leading
+        IRI when the caller only discovered the path at its first
+        operator token."""
+        parts: List[str] = []
+
+        def at_op(*ops):
+            k, v = self.peek()
+            return k == "punct" and v in ops
+
+        def prim():
+            if at_op("^"):
+                self.next()
+                parts.append("^")
+                prim()
+            elif at_op("!"):
+                self.next()
+                parts.append("!")
+                nps()
+            elif at_op("("):
+                self.next()
+                parts.append("(")
+                alt()
+                self.eat_punct(")")
+                parts.append(")")
+            else:
+                parts.append("<%s>" % self._path_iri())
+
+        def nps():
+            if at_op("("):
+                self.next()
+                parts.append("(")
+                member()
+                while at_op("|"):
+                    self.next()
+                    parts.append("|")
+                    member()
+                self.eat_punct(")")
+                parts.append(")")
+            else:
+                member()
+
+        def member():
+            if at_op("^"):
+                self.next()
+                parts.append("^")
+            parts.append("<%s>" % self._path_iri())
+
+        def post():
+            prim()
+            while at_op("+", "*", "?"):
+                parts.append(self.next()[1])
+
+        def seq_tail():
+            while at_op("/"):
+                self.next()
+                parts.append("/")
+                post()
+
+        def seq():
+            post()
+            seq_tail()
+
+        def alt_tail():
+            while at_op("|"):
+                self.next()
+                parts.append("|")
+                seq()
+
+        def alt():
+            seq()
+            alt_tail()
+
+        if first is not None:
+            parts.append("<%s>" % first)
+            while at_op("+", "*", "?"):
+                parts.append(self.next()[1])
+            seq_tail()
+            alt_tail()
+        else:
+            alt()
+        return "".join(parts)
+
+    def _pred_or_path(self) -> Tuple[str, str]:
+        """Predicate position: ``("term", t)`` for a plain term /
+        variable, ``("path", text)`` for a property path."""
+        k, v = self.peek()
+        if k == "punct" and v in ("^", "!", "("):
+            return ("path", self._path_text())
+        p = self.term()
+        nk, nv = self.peek()
+        if (not p.startswith("?") and nk == "punct"
+                and nv in ("/", "|", "+", "*", "?")):
+            return ("path", self._path_text(first=p))
+        return ("term", p)
+
     # -- triples block --------------------------------------------------
-    def triples_block(self) -> List[Tuple[str, str, str]]:
-        """subj pred obj (';' pred obj)* (',' obj)* '.'? — repeated."""
+    def triples_block(
+        self, paths: "List[Tuple[str, str, str]] | None" = None
+    ) -> List[Tuple[str, str, str]]:
+        """subj pred obj (';' pred obj)* (',' obj)* '.'? — repeated.
+        Property-path predicates land in ``paths`` (as
+        ``(s, path_text, o)``) instead of the returned pattern
+        list; passing ``paths=None`` rejects them."""
         pats = []
         while True:
             k, v = self.peek()
@@ -224,10 +346,18 @@ class _P:
                 break
             s = self.term()
             while True:
-                p = self.term()
+                kind, p = self._pred_or_path()
+                if kind == "path" and paths is None:
+                    raise SparqlSyntaxError(
+                        "property paths are only supported in the "
+                        "main WHERE group (not OPTIONAL/MINUS/EXISTS "
+                        "groups or CONSTRUCT templates)")
                 while True:
                     o = self.term()
-                    pats.append((s, p, o))
+                    if kind == "path":
+                        paths.append((s, p, o))
+                    else:
+                        pats.append((s, p, o))
                     if self.peek() == ("punct", ","):
                         self.next()
                         continue
@@ -349,7 +479,7 @@ class _P:
         g = {
             "patterns": [], "optional": [], "filters": [], "minus": [],
             "values": [], "exists": [], "not_exists": [], "binds": [],
-            "unions": None,
+            "paths": [], "unions": None,
         }
         while True:
             k, v = self.peek()
@@ -420,8 +550,9 @@ class _P:
                 else:
                     raise SparqlSyntaxError(
                         "unsupported keyword %r in group" % v)
-            pats = self.triples_block()
-            if not pats:
+            before = len(g["paths"])
+            pats = self.triples_block(paths=g["paths"])
+            if not pats and len(g["paths"]) == before:
                 raise SparqlSyntaxError(
                     "expected a triple pattern, got %r" % (self.peek(),))
             g["patterns"].extend(pats)
@@ -433,6 +564,11 @@ class _P:
             raise SparqlSyntaxError(
                 "nested UNION inside OPTIONAL/MINUS/EXISTS is not "
                 "supported in text form")
+        if g["paths"]:
+            raise SparqlSyntaxError(
+                "property paths are only supported in the main WHERE "
+                "group (not OPTIONAL/MINUS/EXISTS groups or CONSTRUCT "
+                "templates)")
         return g
 
     def _values_block(self) -> List[dict]:
@@ -539,8 +675,30 @@ def parse_query(text: str) -> dict:
         spec["group"] = p.group()
         _modifiers(p, spec)
     elif (k, v) == ("kw", "describe"):
-        raise SparqlSyntaxError(
-            "DESCRIBE text form unsupported — call bgp.describe directly")
+        spec = {"form": "describe"}
+        tk, tv = p.next()
+        if tk == "var":
+            spec["var"] = tv[1:]
+            spec["iri"] = None
+            if p.at_kw("where"):
+                p.next()
+            spec["group"] = p.group()
+            if (spec["group"]["unions"] or spec["group"]["paths"]
+                    or any(spec["group"][x] for x in
+                           ("optional", "filters", "minus", "values",
+                            "exists", "not_exists", "binds"))):
+                raise SparqlSyntaxError(
+                    "DESCRIBE ?var supports a plain triple-pattern "
+                    "WHERE group only")
+        elif tk == "iri":
+            spec["iri"] = p.base + tv[1:-1]
+            spec["group"] = None
+        elif tk == "pname":
+            spec["iri"] = p.expand_pname(tv)
+            spec["group"] = None
+        else:
+            raise SparqlSyntaxError(
+                "DESCRIBE needs ?var or an IRI, got %r" % tv)
     else:
         raise SparqlSyntaxError("expected SELECT/ASK/CONSTRUCT, got %r" % v)
     if p.peek()[0] != "eof":
@@ -642,11 +800,20 @@ def _modifiers(p: _P, spec: dict) -> None:
             break
 
 
+def _path_relations(triples: DataFrame, g: dict):
+    """Property-path patterns -> binding relations
+    (operators/paths.py:path_match), joined into the BGP through
+    bgp_match's ``relations`` hook."""
+    from .paths import path_match
+
+    return [path_match(triples, s, p, o) for s, p, o in g["paths"]]
+
+
 def _exec_group(triples: DataFrame, g: dict) -> DataFrame:
     if g["unions"]:
         if any(g[x] for x in
                ("optional", "filters", "minus", "values", "exists",
-                "not_exists", "binds")):
+                "not_exists", "binds", "paths")):
             raise SparqlSyntaxError(
                 "UNION mixed with group-level modifiers is not "
                 "supported in text form")
@@ -659,6 +826,7 @@ def _exec_group(triples: DataFrame, g: dict) -> DataFrame:
         triples, g["patterns"], optional=g["optional"],
         filters=g["filters"], minus=g["minus"], values=g["values"],
         exists=g["exists"], not_exists=g["not_exists"], binds=g["binds"],
+        relations=_path_relations(triples, g),
     )
 
 
@@ -668,6 +836,16 @@ def sparql_query(triples: DataFrame, text: str):
     returns a bool — the ``rdflib.Graph.query`` migration surface."""
     spec = parse_query(text)
     g = spec["group"]
+    if spec["form"] == "describe":
+        from pyspark.sql import functions as F
+
+        from .bgp import describe
+        if spec["iri"] is not None:
+            # concise bounded description of a named resource: one
+            # pushed-down point filter on the subject column
+            return triples.filter(
+                F.col("subj") == spec["iri"]).dropDuplicates()
+        return describe(triples, g["patterns"], spec["var"])
     if spec["form"] == "ask":
         if g["unions"]:
             return any(
@@ -675,10 +853,12 @@ def sparql_query(triples: DataFrame, text: str):
                 for b in g["unions"])
         return ask(triples, g["patterns"], optional=g["optional"],
                    filters=g["filters"], minus=g["minus"],
-                   values=g["values"])
+                   values=g["values"],
+                   relations=_path_relations(triples, g))
     if spec["form"] == "construct":
         out = construct(triples, g["patterns"], spec["template"],
-                        optional=g["optional"])
+                        optional=g["optional"],
+                        relations=_path_relations(triples, g))
         # CONSTRUCT ignores SELECT-style projection; modifiers apply
         return solution_modifiers(
             out, order_by=[c for c in spec["order_by"]],
@@ -704,6 +884,7 @@ def sparql_query(triples: DataFrame, text: str):
             aggregates=aggregates, having=spec["having"],
             optional=g["optional"], filters=g["filters"],
             minus=g["minus"], values=g["values"],
+            relations=_path_relations(triples, g),
         )
         cols = [n for n, _ in spec["projection"]]
         out = out.select(*cols) if cols else out

@@ -169,7 +169,8 @@ def test_comments_and_dollar_vars(kg):
      "{ VALUES ?x { UNDEF } }", "UNDEF"),
     ("PREFIX ex: <http://ex.org/> SELECT ?x WHERE "
      "{ GRAPH ex:g { ?x a ex:Person } }", "quad_match"),
-    ("DESCRIBE <http://ex.org/alice>", "DESCRIBE"),
+    ("PREFIX ex: <http://ex.org/> SELECT ?x WHERE "
+     "{ OPTIONAL { ?x ex:knows+ ?y } }", "property paths"),
     ("PREFIX ex: <http://ex.org/> SELECT ?x ?y WHERE "
      "{ ?x a ex:Person . ?y a ex:Robot }", "cartesian"),
 ])
@@ -178,6 +179,70 @@ def test_errors(kg, bad, msg):
         df = sparql_query(kg, bad)
         if hasattr(df, "collect"):
             df.collect()
+
+
+def test_path_plus_and_sequence(kg):
+    # alice knows bob; with a bob->carol edge, knows+ reaches both
+    extra = kg.sparkSession.createDataFrame(
+        [(EX + "bob", EX + "knows", EX + "carol", True)],
+        kg.schema)
+    g = kg.unionByName(extra)
+    out = sparql_query(g, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?r WHERE { ex:alice ex:knows+ ?r }
+    """)
+    assert _set(out) == {(EX + "bob",), (EX + "carol",)}
+    out2 = sparql_query(g, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?n WHERE { ex:alice ex:knows/ex:name ?n }
+    """)
+    assert _set(out2) == {("Bob",)}
+
+
+def test_path_inverse_and_mixed_with_bgp(kg):
+    # s ^p o matches iff o p s: bob ^knows ?p binds the knower
+    out = sparql_query(kg, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?p ?n WHERE {
+          ex:bob ^ex:knows ?p .
+          ?p ex:name ?n .
+        }
+    """)
+    assert _set(out) == {(EX + "alice", "Alice")}
+
+
+def test_path_nps(kg):
+    out = sparql_query(kg, """
+        PREFIX ex: <http://ex.org/>
+        PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+        SELECT ?o WHERE { ex:alice !(rdf:type|ex:name|ex:age) ?o }
+    """)
+    assert _set(out) == {(EX + "bob",)}
+
+
+def test_path_zero_or_one(kg):
+    out = sparql_query(kg, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?r WHERE { ex:alice ex:knows? ?r }
+    """)
+    assert _set(out) == {(EX + "alice",), (EX + "bob",)}
+
+
+def test_describe_iri_and_var(kg):
+    out = sparql_query(
+        kg, "PREFIX ex: <http://ex.org/> DESCRIBE ex:carol")
+    assert {(r.subj, r.pred, r.obj) for r in out.collect()} == {
+        (EX + "carol", RDF_TYPE, EX + "Robot"),
+        (EX + "carol", EX + "name", "Carol"),
+    }
+    out2 = sparql_query(kg, """
+        PREFIX ex: <http://ex.org/>
+        DESCRIBE ?p WHERE { ?p a ex:Robot }
+    """)
+    assert {(r.subj, r.pred, r.obj) for r in out2.collect()} == {
+        (EX + "carol", RDF_TYPE, EX + "Robot"),
+        (EX + "carol", EX + "name", "Carol"),
+    }
 
 
 def test_parse_is_pure():
