@@ -3268,6 +3268,60 @@ ORDER BY o, n
 """ % _KG_TPCH_ORACLE
 
 
+_SPARQL_TEXT_QUADS_QUERY = """
+PREFIX ont: <http://kg.test/ontology#>
+PREFIX kg: <http://kg.test/>
+SELECT ?g ?c ?ord ?seg
+WHERE {
+  GRAPH ?g { ?c ont:type kg:Customer }
+  GRAPH <entities> { ?c ont:segment ?seg }
+  GRAPH <orders> { ?ord ont:by ?c ; ont:status "F" }
+}
+ORDER BY ?c ?ord
+"""
+
+
+def q_sparql_text_quads(spark, sf_dir):
+    """GRAPH blocks in SPARQL TEXT form (operators/sparql_text.py ->
+    operators/bgp.py:quad_match): the same named-graph query
+    q_quad_graphs runs through the pattern-list API, here parsed from
+    query text — one variable graph term (provenance) plus two
+    constant graph terms that land in the quad table's graph-column
+    filters (partition pruning on a graph-partitioned store)."""
+    from rdf_converter_spark.operators.sparql_text import sparql_query
+
+    base = "http://kg.test/"
+    kg = _kg_store(spark, sf_dir)
+    quads = kg.withColumn(
+        "graph",
+        F.when(F.col("subj").startswith(base + "order/"),
+               F.lit("orders")).otherwise(F.lit("entities")),
+    )
+    return sparql_query(quads, _SPARQL_TEXT_QUADS_QUERY)
+
+
+_SPARQL_TEXT_QUADS_ORACLE = """
+WITH kg AS (%s), q AS (
+  SELECT CASE WHEN subj LIKE 'http://kg.test/order/%%'
+              THEN 'orders' ELSE 'entities' END AS gg,
+         subj, pred, obj
+  FROM kg
+)
+SELECT t1.gg AS g, t1.subj AS c, t3.subj AS ord, t2.obj AS seg
+FROM q t1
+JOIN q t2 ON t2.gg = 'entities' AND t2.subj = t1.subj
+         AND t2.pred = 'http://kg.test/ontology#segment'
+JOIN q t3 ON t3.gg = 'orders' AND t3.obj = t1.subj
+         AND t3.pred = 'http://kg.test/ontology#by'
+JOIN q t4 ON t4.gg = 'orders' AND t4.subj = t3.subj
+         AND t4.pred = 'http://kg.test/ontology#status'
+         AND t4.obj = 'F'
+WHERE t1.pred = 'http://kg.test/ontology#type'
+  AND t1.obj = 'http://kg.test/Customer'
+ORDER BY c, ord
+""" % _KG_TPCH_ORACLE
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: KG triple construction
     over the star schema via the engine's emission operators."""
@@ -3319,6 +3373,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new in r5 -------------------------------------------------
         "sparql_text": q_sparql_text,
         "sparql_text_path": q_sparql_text_path,
+        "sparql_text_quads": q_sparql_text_quads,
         # -- last verified in CORRECTNESS_r03 --------------------------
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_clusters": q_near_dup_clusters,
@@ -3490,6 +3545,7 @@ def oracle_sql() -> dict[str, str]:
         "kg_tpch_triples": _KG_TPCH_ORACLE,
         "sparql_text": _SPARQL_TEXT_ORACLE,
         "sparql_text_path": _SPARQL_TEXT_PATH_ORACLE,
+        "sparql_text_quads": _SPARQL_TEXT_QUADS_ORACLE,
         "bgp_match": _BGP_ORACLE,
         "bgp_optional": _BGP_OPTIONAL_ORACLE,
         "property_table": _PROPERTY_TABLE_ORACLE,

@@ -170,6 +170,7 @@ HEADLINE = [
     "warc_roundtrip",
     "sparql_text",
     "sparql_text_path",
+    "sparql_text_quads",
 ]
 
 

@@ -754,20 +754,22 @@ def documents_as_png_variants(docs: DataFrame) -> DataFrame:
 
 
 def documents_as_jpeg(docs: DataFrame) -> DataFrame:
-    """A REAL baseline 4:2:0 Huffman JPEG per document, built so the
-    round trip is BIT-EXACT: the image is a grid of (2 + id % 4) x
+    """A REAL 4:2:0 Huffman JPEG per document — baseline SOF0, and
+    PROGRESSIVE SOF2 for every third doc — built so the round trip is
+    BIT-EXACT: the image is a grid of (2 + id % 4) x
     (1 + id % 3) 8x8 blocks, each a CONSTANT gray pixel equal to one
     ASCII char of md5-hex(text). A constant block has only a DC
     coefficient, and with a DC quantizer of 8 the quantized DC is
     exactly ``v - 128`` — so Spark must run the full decode path
-    (marker walk, Huffman entropy decode, dequantize, IDCT, chroma
+    (marker walk, Huffman entropy decode — multi-scan successive
+    approximation for the SOF2 third — dequantize, IDCT, chroma
     upsample, YCbCr->RGB) yet lands on arithmetically predictable
     pixels the oracle reconstructs with no JPEG code (gray content
     keeps the JFIF color transform lossless: Cb = Cr = 128)."""
     import numpy as np
 
     from rdf_converter_spark.operators.jpegkit import (
-        encode_jpeg, quality_tables,
+        encode_jpeg, encode_jpeg_progressive, quality_tables,
     )
 
     ql, qc = (t.copy() for t in quality_tables(90))
@@ -788,8 +790,14 @@ def documents_as_jpeg(docs: DataFrame) -> DataFrame:
             ).reshape(hb, wb)
             img = np.repeat(np.repeat(blocks, 8, 0), 8, 1)
             rgb = np.repeat(img[:, :, None], 3, 2)
+            # every third document is a PROGRESSIVE (SOF2) stream —
+            # same pixels, so the oracle's digest prediction is
+            # untouched while the decode path must handle both
+            # processes (a real crawl mixes them too)
+            enc = (encode_jpeg_progressive if int(i) % 3 == 0
+                   else encode_jpeg)
             out.append(
-                encode_jpeg(rgb, subsampling="420", quant_tables=(ql, qc))
+                enc(rgb, subsampling="420", quant_tables=(ql, qc))
             )
         return pd.Series(out)
 

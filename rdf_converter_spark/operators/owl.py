@@ -106,26 +106,35 @@ def owl_entail_lite(
     deduplicated, URI-object rows only (OWL property semantics
     relate individuals; literals cannot be subjects)."""
     cols = ["subj", "pred", "obj"]
+    # ONE corpus scan pulls every axiom row (ontology-sized by
+    # contract); the three per-rule tables derive from the cached
+    # slice — r4 scanned the corpus once per table. Materializing
+    # also severs the shared lineage with the corpus scan, which
+    # otherwise trips Catalyst's self-join attribute rewrite under
+    # AQE (the tables are probed on both sides of one join tree).
+    ax_raw = (
+        triples.filter(
+            (F.col("pred") == OWL_INVERSE_OF)
+            | ((F.col("pred") == type_pred)
+               & F.col("obj").isin(OWL_SYMMETRIC, OWL_TRANSITIVE)))
+        .select(*cols).localCheckpoint()
+    )
     inv = (
-        triples.filter(F.col("pred") == OWL_INVERSE_OF)
+        ax_raw.filter(F.col("pred") == OWL_INVERSE_OF)
         .select(F.col("subj").alias("p"), F.col("obj").alias("q"))
     )
-    # both directions: inverseOf is symmetric in its own right.
-    # The axiom tables are ontology-sized by contract and probed
-    # EVERY fixpoint round — materialize them once (also severs the
-    # shared lineage with the corpus scan, which otherwise trips
-    # Catalyst's self-join attribute rewrite under AQE).
+    # both directions: inverseOf is symmetric in its own right
     inv2 = inv.unionByName(
         inv.select(F.col("q").alias("p"), F.col("p").alias("q"))
     ).distinct().localCheckpoint()
     sym = (
-        triples.filter(
+        ax_raw.filter(
             (F.col("pred") == type_pred) & (F.col("obj") == OWL_SYMMETRIC))
         .select(F.col("subj").alias("p"))
         .distinct().localCheckpoint()
     )
     trans = (
-        triples.filter(
+        ax_raw.filter(
             (F.col("pred") == type_pred) & (F.col("obj") == OWL_TRANSITIVE))
         .select(F.col("subj").alias("p"))
         .distinct().localCheckpoint()

@@ -141,7 +141,14 @@ def rdfs_entail(
             else F.lit(True)).alias("_is_uri")
     t = triples.select(*cols, flag)
 
-    schema = t.filter(F.col("pred").isin(schema_preds))
+    # ONE corpus scan pulls the whole (ontology-sized, by contract)
+    # schema slice; the hierarchy closures and domain/range tables
+    # derive from the cached slice instead of re-scanning the corpus
+    # per table (r4 paid four corpus scans here)
+    schema = (
+        t.filter(F.col("pred").isin(schema_preds))
+        .select(*cols, "_is_uri").localCheckpoint()
+    )
     sc = transitive_closure(
         schema.filter(F.col("pred") == subclass_pred)
         .select(F.col("subj").alias("child"), F.col("obj").alias("parent"))

@@ -35,16 +35,20 @@ outside it — never a silent wrong answer):
   BGP via ``bgp_match(relations=...)``.
 - ``DESCRIBE <iri>`` (pushed-down subject point filter) and
   ``DESCRIBE ?v WHERE { plain patterns }`` (``bgp.describe``).
+- ``GRAPH <g> { … }`` / ``GRAPH ?g { … }`` blocks in SELECT queries
+  (every pattern scoped; lowered to ``quad_match`` — a constant
+  graph term is a partition-pruning filter on the quad table's
+  graph column).
 - FILTER/BIND expressions are rewritten to Spark SQL: ``&&``/``||``
   / ``!`` to AND/OR/NOT, ``REGEX(v, p)`` to RLIKE, ``BOUND(?v)`` to
   IS NOT NULL, STRLEN/UCASE/LCASE/STRSTARTS/STRENDS/CONTAINS/STR to
   their Spark builtins — then validated by ``bgp_match`` against the
   bound variable set exactly like hand-passed filter strings.
 
-Out of scope, by design (raise): named graphs in text form
-(``quad_match``), federated SERVICE, subqueries in text form
-(``bgp.py`` executes them composed in Python), property paths
-inside OPTIONAL/MINUS/EXISTS groups or UNION branches.
+Out of scope, by design (raise): federated SERVICE, subqueries in
+text form (``bgp.py`` executes them composed in Python), property
+paths inside OPTIONAL/MINUS/EXISTS groups or UNION branches, GRAPH
+mixed with unscoped patterns / non-SELECT forms.
 
 Scale shape: parsing is driver-side over a bounded query string
 (microseconds); everything executed is the SAME plan the pattern-
@@ -479,7 +483,7 @@ class _P:
         g = {
             "patterns": [], "optional": [], "filters": [], "minus": [],
             "values": [], "exists": [], "not_exists": [], "binds": [],
-            "paths": [], "unions": None,
+            "paths": [], "graphs": [], "unions": None,
         }
         while True:
             k, v = self.peek()
@@ -541,10 +545,27 @@ class _P:
                     self.next()
                     g["values"].extend(self._values_block())
                     continue
-                if v in ("graph", "service"):
+                if v == "graph":
+                    self.next()
+                    gk, gv = self.peek()
+                    if gk == "var":
+                        self.next()
+                        gterm = "?" + gv[1:]
+                    else:
+                        gterm = self.term()
+                    sub = self._plain_group()
+                    if (sub["optional"] or sub["minus"] or sub["values"]
+                            or sub["exists"] or sub["not_exists"]
+                            or sub["binds"] or sub["graphs"]):
+                        raise SparqlSyntaxError(
+                            "GRAPH blocks support plain triple patterns "
+                            "and FILTERs only in text form")
+                    g["graphs"].append(
+                        (gterm, sub["patterns"], sub["filters"]))
+                    continue
+                if v == "service":
                     raise SparqlSyntaxError(
-                        "%s blocks are not supported in text form — use "
-                        "quad_match for named graphs" % v.upper())
+                        "federated SERVICE is not supported")
                 if v == "a":
                     pass  # falls through to triples_block
                 else:
@@ -569,6 +590,10 @@ class _P:
                 "property paths are only supported in the main WHERE "
                 "group (not OPTIONAL/MINUS/EXISTS groups or CONSTRUCT "
                 "templates)")
+        if g["graphs"]:
+            raise SparqlSyntaxError(
+                "GRAPH blocks cannot nest inside other groups in "
+                "text form")
         return g
 
     def _values_block(self) -> List[dict]:
@@ -809,7 +834,29 @@ def _path_relations(triples: DataFrame, g: dict):
     return [path_match(triples, s, p, o) for s, p, o in g["paths"]]
 
 
-def _exec_group(triples: DataFrame, g: dict) -> DataFrame:
+def _exec_group(triples: DataFrame, g: dict,
+                graph_col: str = "graph") -> DataFrame:
+    if g["graphs"]:
+        from .bgp import quad_match
+
+        if (g["patterns"] or g["paths"] or g["unions"] or g["optional"]
+                or g["minus"] or g["values"] or g["exists"]
+                or g["not_exists"] or g["binds"]):
+            raise SparqlSyntaxError(
+                "GRAPH queries in text form must scope EVERY pattern "
+                "inside GRAPH blocks (default-graph semantics are "
+                "store-specific; mixing is not supported)")
+        if graph_col not in triples.columns:
+            raise SparqlSyntaxError(
+                "GRAPH query against a triple table without a %r "
+                "column" % graph_col)
+        quads = []
+        filters = list(g["filters"])
+        for gterm, pats, fls in g["graphs"]:
+            quads.extend((gterm, s, p, o) for s, p, o in pats)
+            filters.extend(fls)
+        return quad_match(triples, quads, filters=filters,
+                          graph_col=graph_col)
     if g["unions"]:
         if any(g[x] for x in
                ("optional", "filters", "minus", "values", "exists",
@@ -830,12 +877,18 @@ def _exec_group(triples: DataFrame, g: dict) -> DataFrame:
     )
 
 
-def sparql_query(triples: DataFrame, text: str):
+def sparql_query(triples: DataFrame, text: str,
+                 graph_col: str = "graph"):
     """Execute a SPARQL query STRING against a ``(subj, pred, obj)``
     triple DataFrame. SELECT/CONSTRUCT return a DataFrame; ASK
-    returns a bool — the ``rdflib.Graph.query`` migration surface."""
+    returns a bool — the ``rdflib.Graph.query`` migration surface.
+    ``GRAPH`` blocks (SELECT form, every pattern scoped) require the
+    quad table's named-graph column, ``graph_col``."""
     spec = parse_query(text)
     g = spec["group"]
+    if g is not None and g.get("graphs") and spec["form"] != "select":
+        raise SparqlSyntaxError(
+            "GRAPH blocks are supported in SELECT text queries only")
     if spec["form"] == "describe":
         from pyspark.sql import functions as F
 
@@ -879,6 +932,10 @@ def sparql_query(triples: DataFrame, text: str):
             raise SparqlSyntaxError(
                 "projected variables %s are neither grouped nor "
                 "aggregated" % bad)
+        if g["graphs"]:
+            raise SparqlSyntaxError(
+                "GRAPH blocks with aggregates are not supported in "
+                "text form")
         out = bgp_aggregate(
             triples, g["patterns"], group_by=spec["group_by"],
             aggregates=aggregates, having=spec["having"],
@@ -889,7 +946,7 @@ def sparql_query(triples: DataFrame, text: str):
         cols = [n for n, _ in spec["projection"]]
         out = out.select(*cols) if cols else out
     else:
-        out = _exec_group(triples, g)
+        out = _exec_group(triples, g, graph_col=graph_col)
         if exprs:
             from pyspark.sql import functions as F
 

@@ -93,8 +93,12 @@ def test_refusals():
     rgb = _const_block_image(2, 2)
     data = bytearray(encode_jpeg(rgb, quality=90))
     i = bytes(data).find(b"\xff\xc0")
-    data[i + 1] = 0xC2  # progressive
+    data[i + 1] = 0xC9  # arithmetic-coded sequential
     with pytest.raises(NotImplementedError, match="SOF"):
+        decode_jpeg(bytes(data))
+    data[i + 1] = 0xC2  # progressive SOF on a BASELINE scan header:
+    #                     Se=63 in a DC scan is malformed, not pixels
+    with pytest.raises(NotImplementedError, match="Se"):
         decode_jpeg(bytes(data))
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(encode_jpeg(rgb))[: 60])  # truncated
@@ -148,3 +152,84 @@ def test_fill_bytes_before_markers():
     assert hdr is not None and (hdr["width"], hdr["height"]) == (
         rgb.shape[1], rgb.shape[0])
     assert np.array_equal(decode_jpeg(padded), rgb)
+
+
+# --- progressive mode (T.81 Annex G) ---------------------------------
+
+def test_progressive_constant_blocks_bit_exact():
+    from rdf_converter_spark.operators.jpegkit import (
+        encode_jpeg_progressive,
+    )
+
+    rgb = _const_block_image(3, 2, seed=9)
+    data = encode_jpeg_progressive(rgb, subsampling="444",
+                                   quant_tables=_dc8_tables())
+    hdr = parse_jpeg_header(data)
+    assert hdr["_sof"] == 0xC2
+    assert np.array_equal(decode_jpeg(data), rgb)
+
+
+def test_progressive_equals_baseline_noise():
+    """A progressive stream transmits EXACTLY the same quantized
+    coefficients as the baseline stream (the successive-approximation
+    scans refine to Al=0), so the two decodes must agree bit-for-bit
+    on any input — far stronger than a lossy bound."""
+    from rdf_converter_spark.operators.jpegkit import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (40, 56, 3)).astype(np.uint8)
+    for sub in ("444", "420"):
+        base = decode_jpeg(encode_jpeg(img, quality=85, subsampling=sub))
+        prog = decode_jpeg(
+            encode_jpeg_progressive(img, quality=85, subsampling=sub))
+        assert np.array_equal(base, prog), sub
+
+
+def test_progressive_gray_and_odd_dims():
+    from rdf_converter_spark.operators.jpegkit import (
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.RandomState(12)
+    g = rng.randint(0, 256, (19, 21)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(g, quality=90, subsampling="gray"))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(g, quality=90, subsampling="gray"))
+    assert np.array_equal(base, prog)
+    # odd dimensions with 420 (padded MCU grid vs coded block grid)
+    img = rng.randint(0, 256, (25, 35, 3)).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=75, subsampling="420"))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=75, subsampling="420"))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_smooth_image_eob_runs():
+    """A smooth gradient quantizes to long zero tails — the spectral
+    band scans are dominated by EOB runs spanning many blocks."""
+    from rdf_converter_spark.operators.jpegkit import (
+        encode_jpeg_progressive,
+    )
+
+    y, x = np.mgrid[0:48, 0:64]
+    img = np.stack([
+        (x * 2) % 256, (y * 3) % 256, ((x + y)) % 256
+    ], axis=2).astype(np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=60, subsampling="444"))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, quality=60, subsampling="444"))
+    assert np.array_equal(base, prog)
+
+
+def test_decode_image_dispatch_progressive():
+    from rdf_converter_spark.operators.jpegkit import (
+        encode_jpeg_progressive,
+    )
+    from rdf_converter_spark.operators.multimodal import decode_image
+
+    rgb = _const_block_image(2, 3, seed=21)
+    data = encode_jpeg_progressive(rgb, subsampling="420",
+                                   quant_tables=_dc8_tables())
+    assert np.array_equal(decode_image(data), rgb)

@@ -168,7 +168,7 @@ def test_comments_and_dollar_vars(kg):
     ("PREFIX ex: <http://ex.org/> SELECT ?x WHERE "
      "{ VALUES ?x { UNDEF } }", "UNDEF"),
     ("PREFIX ex: <http://ex.org/> SELECT ?x WHERE "
-     "{ GRAPH ex:g { ?x a ex:Person } }", "quad_match"),
+     "{ GRAPH ex:g { ?x a ex:Person } }", "without a 'graph' column"),
     ("PREFIX ex: <http://ex.org/> SELECT ?x WHERE "
      "{ OPTIONAL { ?x ex:knows+ ?y } }", "property paths"),
     ("PREFIX ex: <http://ex.org/> SELECT ?x ?y WHERE "
@@ -253,3 +253,48 @@ def test_parse_is_pure():
     assert spec["limit"] == 3
     assert spec["group"]["patterns"] == [
         ("?s", EX + "p", 'lit with "quote"')]
+
+
+def test_graph_blocks(kg):
+    quads = kg.withColumn(
+        "graph",
+        kg.subj.substr(15, 1),  # 'a'/'b'/'c' by subject first letter
+    )
+    from pyspark.sql import functions as F
+    quads = kg.select(
+        "*", F.when(F.col("subj").contains("alice"), "ga")
+        .when(F.col("subj").contains("bob"), "gb")
+        .otherwise("gc").alias("graph"))
+    out = sparql_query(quads, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?g ?n WHERE {
+          GRAPH ?g { ?p ex:name ?n }
+        }
+    """)
+    assert _set(out) == {("ga", "Alice"), ("gb", "Bob"), ("gc", "Carol")}
+    out2 = sparql_query(quads, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?n WHERE {
+          GRAPH <ga> { ?p ex:name ?n }
+          GRAPH <ga> { ?p a ex:Person }
+        }
+    """)
+    assert _set(out2) == {("Alice",)}
+
+
+def test_graph_mixed_with_plain_raises(kg):
+    from pyspark.sql import functions as F
+    quads = kg.withColumn("graph", F.lit("g0"))
+    with pytest.raises(SparqlSyntaxError, match="GRAPH"):
+        sparql_query(quads, """
+            PREFIX ex: <http://ex.org/>
+            SELECT ?p WHERE {
+              ?p a ex:Person .
+              GRAPH <g0> { ?p ex:name ?n }
+            }
+        """)
+    with pytest.raises(SparqlSyntaxError, match="graph"):
+        sparql_query(kg, """
+            PREFIX ex: <http://ex.org/>
+            SELECT ?n WHERE { GRAPH <g0> { ?p ex:name ?n } }
+        """)  # no graph column on the table
