@@ -3322,6 +3322,68 @@ ORDER BY c, ord
 """ % _KG_TPCH_ORACLE
 
 
+def q_sparql_text_update(spark, sf_dir):
+    """SPARQL 1.1 Update STRING (operators/sparql_text.py ->
+    bgp.update_where): the exact q_sparql_update mutation written as
+    update text — DELETE/INSERT templates + WHERE — so the oracle is
+    the SAME relational twin; the text layer must lower to the
+    identical functional update."""
+    from rdf_converter_spark.operators.sparql_text import sparql_query
+
+    o = "http://kg.test/ontology#"
+    kg = _kg_store(spark, sf_dir).select(
+        "subj", "pred", "obj", "obj_is_uri", "obj_lang", "obj_datatype")
+    new = sparql_query(kg, """
+        PREFIX ont: <http://kg.test/ontology#>
+        PREFIX kg: <http://kg.test/>
+        DELETE { ?c ont:segment "BUILDING" }
+        INSERT { ?c ont:tier "EU-BUILDING" }
+        WHERE { ?c ont:type kg:Customer ; ont:segment "BUILDING" }
+    """)
+    return (
+        new.filter(F.col("pred").isin(o + "segment", o + "tier"))
+        .select("subj", "pred", "obj")
+        .orderBy("subj", "pred", "obj")
+    )
+
+
+def q_sparql_text_subquery(spark, sf_dir):
+    """{ SELECT … } subquery in SPARQL TEXT form: the inner
+    per-segment COUNT aggregates bottom-up (SPARQL 1.1 §12) and
+    joins the outer customer scan on ?seg via the relations hook —
+    every customer row annotated with its segment's population."""
+    from rdf_converter_spark.operators.sparql_text import sparql_query
+
+    kg = _kg_store(spark, sf_dir)
+    return sparql_query(kg, """
+        PREFIX ont: <http://kg.test/ontology#>
+        PREFIX kg: <http://kg.test/>
+        SELECT ?c ?seg ?n WHERE {
+          ?c ont:type kg:Customer ; ont:segment ?seg .
+          { SELECT ?seg (COUNT(*) AS ?n) WHERE {
+              ?x ont:segment ?seg } GROUP BY ?seg }
+        }
+        ORDER BY ?c
+    """)
+
+
+_SPARQL_TEXT_SUBQUERY_ORACLE = """
+WITH kg AS (%s), seg_n AS (
+  SELECT obj AS seg, count(*) AS n
+  FROM kg WHERE pred = 'http://kg.test/ontology#segment'
+  GROUP BY obj
+)
+SELECT t1.subj AS c, sg.obj AS seg, seg_n.n AS n
+FROM kg t1
+JOIN kg sg ON sg.subj = t1.subj
+          AND sg.pred = 'http://kg.test/ontology#segment'
+JOIN seg_n ON seg_n.seg = sg.obj
+WHERE t1.pred = 'http://kg.test/ontology#type'
+  AND t1.obj = 'http://kg.test/Customer'
+ORDER BY c
+""" % _KG_TPCH_ORACLE
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: KG triple construction
     over the star schema via the engine's emission operators."""
@@ -3374,6 +3436,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text": q_sparql_text,
         "sparql_text_path": q_sparql_text_path,
         "sparql_text_quads": q_sparql_text_quads,
+        "sparql_text_update": q_sparql_text_update,
+        "sparql_text_subquery": q_sparql_text_subquery,
         # -- last verified in CORRECTNESS_r03 --------------------------
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_clusters": q_near_dup_clusters,
@@ -3546,6 +3610,8 @@ def oracle_sql() -> dict[str, str]:
         "sparql_text": _SPARQL_TEXT_ORACLE,
         "sparql_text_path": _SPARQL_TEXT_PATH_ORACLE,
         "sparql_text_quads": _SPARQL_TEXT_QUADS_ORACLE,
+        "sparql_text_update": _SPARQL_UPDATE_ORACLE,
+        "sparql_text_subquery": _SPARQL_TEXT_SUBQUERY_ORACLE,
         "bgp_match": _BGP_ORACLE,
         "bgp_optional": _BGP_OPTIONAL_ORACLE,
         "property_table": _PROPERTY_TABLE_ORACLE,

@@ -171,6 +171,8 @@ HEADLINE = [
     "sparql_text",
     "sparql_text_path",
     "sparql_text_quads",
+    "sparql_text_update",
+    "sparql_text_subquery",
 ]
 
 

@@ -39,16 +39,23 @@ outside it — never a silent wrong answer):
   (every pattern scoped; lowered to ``quad_match`` — a constant
   graph term is a partition-pruning filter on the quad table's
   graph column).
+- ``{ SELECT … }`` subqueries in the main WHERE group (evaluated
+  bottom-up per SPARQL 1.1 §12, joined on shared variables through
+  the ``relations`` hook).
+- SPARQL 1.1 Update strings: ``INSERT DATA`` / ``DELETE DATA`` /
+  ``DELETE WHERE`` / ``DELETE { } INSERT { } WHERE { }`` — executed
+  functionally (``sparql_query`` returns the NEW triple table, the
+  caller persists it: the ``bgp.update_where`` contract).
 - FILTER/BIND expressions are rewritten to Spark SQL: ``&&``/``||``
   / ``!`` to AND/OR/NOT, ``REGEX(v, p)`` to RLIKE, ``BOUND(?v)`` to
   IS NOT NULL, STRLEN/UCASE/LCASE/STRSTARTS/STRENDS/CONTAINS/STR to
   their Spark builtins — then validated by ``bgp_match`` against the
   bound variable set exactly like hand-passed filter strings.
 
-Out of scope, by design (raise): federated SERVICE, subqueries in
-text form (``bgp.py`` executes them composed in Python), property
-paths inside OPTIONAL/MINUS/EXISTS groups or UNION branches, GRAPH
-mixed with unscoped patterns / non-SELECT forms.
+Out of scope, by design (raise): federated SERVICE; property paths,
+GRAPH blocks and subqueries inside OPTIONAL/MINUS/EXISTS groups or
+UNION branches; GRAPH mixed with unscoped patterns / non-SELECT
+forms.
 
 Scale shape: parsing is driver-side over a bounded query string
 (microseconds); everything executed is the SAME plan the pattern-
@@ -94,7 +101,8 @@ _KEYWORDS = {
     "optional", "filter", "minus", "union", "bind", "values", "as",
     "group", "having", "order", "by", "asc", "desc", "limit", "offset",
     "exists", "not", "a", "true", "false", "undef", "in", "describe",
-    "reduced", "from", "named", "graph", "service",
+    "reduced", "from", "named", "graph", "service", "insert", "delete",
+    "data",
 }
 
 _AGG_FNS = {"count", "sum", "min", "max", "avg", "sample", "group_concat"}
@@ -346,7 +354,8 @@ class _P:
         pats = []
         while True:
             k, v = self.peek()
-            if k in ("eof",) or (k == "punct" and v in ("}",)) or k == "kw":
+            if k in ("eof",) or (k == "punct" and v in ("}", "{")) \
+                    or k == "kw":
                 break
             s = self.term()
             while True:
@@ -483,13 +492,23 @@ class _P:
         g = {
             "patterns": [], "optional": [], "filters": [], "minus": [],
             "values": [], "exists": [], "not_exists": [], "binds": [],
-            "paths": [], "graphs": [], "unions": None,
+            "paths": [], "graphs": [], "subqueries": [], "unions": None,
         }
         while True:
             k, v = self.peek()
             if k == "punct" and v == "}":
                 self.next()
                 break
+            if k == "punct" and v == "{" and \
+                    self.peek(1) == ("kw", "select"):
+                # { SELECT … } subquery: evaluated bottom-up and
+                # joined into the enclosing group on shared variables
+                # (via bgp_match's relations hook)
+                self.next()
+                self.eat_kw("select")
+                g["subqueries"].append(_select_spec(self))
+                self.eat_punct("}")
+                continue
             if k == "punct" and v == "{":
                 # nested group: only the UNION form is supported in text
                 branches = [self._plain_group()]
@@ -594,7 +613,55 @@ class _P:
             raise SparqlSyntaxError(
                 "GRAPH blocks cannot nest inside other groups in "
                 "text form")
+        if g["subqueries"]:
+            raise SparqlSyntaxError(
+                "subqueries are only supported in the main WHERE "
+                "group in text form")
         return g
+
+    def template_group(self, ground: bool = False) -> List[tuple]:
+        """``{ s p o . … }`` update template: plain triples with
+        ``;``/``,`` lists, each row ``(s, p, o, obj_is_iri)`` —
+        the 4th element records whether the OBJECT was written as an
+        IRI/prefixed name (the static ``obj_is_uri`` flag
+        ``bgp.update_where`` takes). ``ground=True`` (the
+        INSERT/DELETE DATA forms) rejects variables."""
+
+        def term_k(positional: str):
+            k, v = self.peek()
+            t = self.term()
+            if ground and t.startswith("?"):
+                raise SparqlSyntaxError(
+                    "variables are not allowed in DATA blocks (%s %r)"
+                    % (positional, t))
+            return t, k in ("iri", "pname") or (k, v) == ("kw", "a")
+
+        self.eat_punct("{")
+        pats: List[tuple] = []
+        while self.peek() != ("punct", "}"):
+            s, _ = term_k("subject")
+            while True:
+                pr, _ = term_k("predicate")
+                while True:
+                    o, is_iri = term_k("object")
+                    pats.append((s, pr, o, is_iri))
+                    if self.peek() == ("punct", ","):
+                        self.next()
+                        continue
+                    break
+                if self.peek() == ("punct", ";"):
+                    self.next()
+                    nk, nv = self.peek()
+                    if nk == "punct" and nv in (".", "}"):
+                        break
+                    continue
+                break
+            if self.peek() == ("punct", "."):
+                self.next()
+        self.next()  # '}'
+        if not pats:
+            raise SparqlSyntaxError("empty update template")
+        return pats
 
     def _values_block(self) -> List[dict]:
         """VALUES ?v { ... } or VALUES (?a ?b) { (..) (..) }."""
@@ -638,50 +705,60 @@ def _unescape(s: str) -> str:
     )
 
 
+def _select_spec(p: "_P") -> dict:
+    """Parse a SELECT body (the ``select`` keyword already consumed):
+    projection, WHERE group, solution modifiers. Shared between the
+    top-level form and ``{ SELECT ... }`` subqueries."""
+    spec = {"form": "select"}
+    spec["distinct"] = False
+    if p.at_kw("distinct"):
+        p.next()
+        spec["distinct"] = True
+    elif p.at_kw("reduced"):
+        p.next()  # REDUCED may drop dups; treating as plain is legal
+    proj: List[Tuple[str, Optional[str]]] = []
+    star = False
+    while True:
+        tk, tv = p.peek()
+        if tk == "var":
+            p.next()
+            proj.append((tv[1:], None))
+        elif (tk, tv) == ("punct", "*"):
+            p.next()
+            star = True
+        elif (tk, tv) == ("punct", "("):
+            p.next()
+            expr = _proj_expr(p)
+            p.eat_kw("as")
+            vk, vv = p.next()
+            if vk != "var":
+                raise SparqlSyntaxError("(expr AS ?var) needs ?var")
+            p.eat_punct(")")
+            proj.append((vv[1:], expr))
+        else:
+            break
+    if not star and not proj:
+        raise SparqlSyntaxError("SELECT needs a projection")
+    spec["star"] = star
+    spec["projection"] = proj
+    if p.at_kw("where"):
+        p.next()
+    spec["group"] = p.group()
+    _modifiers(p, spec)
+    return spec
+
+
 def parse_query(text: str) -> dict:
-    """Parse a SPARQL query string into an execution spec dict
-    (pure parsing — no Spark). Raises :class:`SparqlSyntaxError`
-    outside the supported subset."""
+    """Parse a SPARQL query or update string into an execution spec
+    dict (pure parsing — no Spark). Raises
+    :class:`SparqlSyntaxError` outside the supported subset."""
     p = _P(text)
     p.prologue()
     k, v = p.next()
     if (k, v) == ("kw", "select"):
-        spec = {"form": "select"}
-        spec["distinct"] = False
-        if p.at_kw("distinct"):
-            p.next()
-            spec["distinct"] = True
-        elif p.at_kw("reduced"):
-            p.next()  # REDUCED may drop dups; treating as plain is legal
-        proj: List[Tuple[str, Optional[str]]] = []
-        star = False
-        while True:
-            tk, tv = p.peek()
-            if tk == "var":
-                p.next()
-                proj.append((tv[1:], None))
-            elif (tk, tv) == ("punct", "*"):
-                p.next()
-                star = True
-            elif (tk, tv) == ("punct", "("):
-                p.next()
-                expr = _proj_expr(p)
-                p.eat_kw("as")
-                vk, vv = p.next()
-                if vk != "var":
-                    raise SparqlSyntaxError("(expr AS ?var) needs ?var")
-                p.eat_punct(")")
-                proj.append((vv[1:], expr))
-            else:
-                break
-        if not star and not proj:
-            raise SparqlSyntaxError("SELECT needs a projection")
-        spec["star"] = star
-        spec["projection"] = proj
-        if p.at_kw("where"):
-            p.next()
-        spec["group"] = p.group()
-        _modifiers(p, spec)
+        spec = _select_spec(p)
+    elif (k, v) in (("kw", "insert"), ("kw", "delete")):
+        spec = _update_spec(p, v)
     elif (k, v) == ("kw", "ask"):
         spec = {"form": "ask"}
         if p.at_kw("where"):
@@ -711,7 +788,8 @@ def parse_query(text: str) -> dict:
             if (spec["group"]["unions"] or spec["group"]["paths"]
                     or any(spec["group"][x] for x in
                            ("optional", "filters", "minus", "values",
-                            "exists", "not_exists", "binds"))):
+                            "exists", "not_exists", "binds", "graphs",
+                            "subqueries"))):
                 raise SparqlSyntaxError(
                     "DESCRIBE ?var supports a plain triple-pattern "
                     "WHERE group only")
@@ -725,10 +803,59 @@ def parse_query(text: str) -> dict:
             raise SparqlSyntaxError(
                 "DESCRIBE needs ?var or an IRI, got %r" % tv)
     else:
-        raise SparqlSyntaxError("expected SELECT/ASK/CONSTRUCT, got %r" % v)
+        raise SparqlSyntaxError(
+            "expected SELECT/ASK/CONSTRUCT/DESCRIBE/INSERT/DELETE, "
+            "got %r" % v)
     if p.peek()[0] != "eof":
         raise SparqlSyntaxError(
             "trailing tokens after query: %r" % (p.peek(),))
+    return spec
+
+
+def _update_spec(p: "_P", first_kw: str) -> dict:
+    """SPARQL 1.1 Update text forms lowered onto
+    ``bgp.update_where`` (functional: the executor returns the NEW
+    triple table): ``INSERT DATA { … }``, ``DELETE DATA { … }``,
+    ``DELETE WHERE { … }``, and the full
+    ``DELETE { … } INSERT { … } WHERE { … }`` (either template
+    optional). Template objects parsed as IRIs/prefixed names get
+    ``obj_is_uri=True``; variables default to False (the same static
+    flag the Python API takes)."""
+    spec = {"form": "update", "delete": [], "insert": [],
+            "data": None, "group": None}
+    if first_kw == "insert":
+        if p.at_kw("data"):
+            p.next()
+            spec["data"] = "insert"
+            spec["insert"] = p.template_group(ground=True)
+            return spec
+        spec["insert"] = p.template_group()
+        p.eat_kw("where")
+        spec["group"] = p.group()
+        return spec
+    # DELETE ...
+    if p.at_kw("data"):
+        p.next()
+        spec["data"] = "delete"
+        spec["delete"] = p.template_group(ground=True)
+        return spec
+    if p.at_kw("where"):
+        # DELETE WHERE { … } shorthand: the pattern IS the template
+        p.next()
+        g = p._plain_group()
+        if g["optional"] or g["minus"] or g["values"] or g["binds"] \
+                or g["exists"] or g["not_exists"]:
+            raise SparqlSyntaxError(
+                "DELETE WHERE supports plain patterns + FILTERs only")
+        spec["group"] = g
+        spec["delete"] = [(s, pr, o, False) for s, pr, o in g["patterns"]]
+        return spec
+    spec["delete"] = p.template_group()
+    if p.at_kw("insert"):
+        p.next()
+        spec["insert"] = p.template_group()
+    p.eat_kw("where")
+    spec["group"] = p.group()
     return spec
 
 
@@ -834,6 +961,16 @@ def _path_relations(triples: DataFrame, g: dict):
     return [path_match(triples, s, p, o) for s, p, o in g["paths"]]
 
 
+def _subquery_relations(triples: DataFrame, g: dict,
+                        graph_col: str = "graph"):
+    """``{ SELECT … }`` subqueries -> binding relations: each is
+    evaluated bottom-up (SPARQL 1.1 §12) as its own SELECT and
+    joined into the enclosing group on shared variables through the
+    same ``relations`` hook as property paths."""
+    return [_exec_select(triples, sq, graph_col=graph_col)
+            for sq in g.get("subqueries", ())]
+
+
 def _exec_group(triples: DataFrame, g: dict,
                 graph_col: str = "graph") -> DataFrame:
     if g["graphs"]:
@@ -841,7 +978,7 @@ def _exec_group(triples: DataFrame, g: dict,
 
         if (g["patterns"] or g["paths"] or g["unions"] or g["optional"]
                 or g["minus"] or g["values"] or g["exists"]
-                or g["not_exists"] or g["binds"]):
+                or g["not_exists"] or g["binds"] or g["subqueries"]):
             raise SparqlSyntaxError(
                 "GRAPH queries in text form must scope EVERY pattern "
                 "inside GRAPH blocks (default-graph semantics are "
@@ -873,7 +1010,8 @@ def _exec_group(triples: DataFrame, g: dict,
         triples, g["patterns"], optional=g["optional"],
         filters=g["filters"], minus=g["minus"], values=g["values"],
         exists=g["exists"], not_exists=g["not_exists"], binds=g["binds"],
-        relations=_path_relations(triples, g),
+        relations=_path_relations(triples, g)
+        + _subquery_relations(triples, g, graph_col),
     )
 
 
@@ -907,16 +1045,26 @@ def sparql_query(triples: DataFrame, text: str,
         return ask(triples, g["patterns"], optional=g["optional"],
                    filters=g["filters"], minus=g["minus"],
                    values=g["values"],
-                   relations=_path_relations(triples, g))
+                   relations=_path_relations(triples, g)
+                   + _subquery_relations(triples, g, graph_col))
     if spec["form"] == "construct":
         out = construct(triples, g["patterns"], spec["template"],
                         optional=g["optional"],
-                        relations=_path_relations(triples, g))
+                        relations=_path_relations(triples, g)
+                        + _subquery_relations(triples, g, graph_col))
         # CONSTRUCT ignores SELECT-style projection; modifiers apply
         return solution_modifiers(
             out, order_by=[c for c in spec["order_by"]],
             limit=spec["limit"], offset=spec["offset"])
+    if spec["form"] == "update":
+        return _exec_update(triples, spec)
+    return _exec_select(triples, spec, graph_col=graph_col)
 
+
+def _exec_select(triples: DataFrame, spec: dict,
+                 graph_col: str = "graph") -> DataFrame:
+    """Execute a parsed SELECT spec (top-level query or subquery)."""
+    g = spec["group"]
     exprs = [(n, e) for n, e in spec["projection"] if e is not None]
     has_agg = bool(spec["group_by"]) or any(
         re.match(r"\s*(count|sum|min|max|avg|array_join)\s*\(", e,
@@ -941,7 +1089,8 @@ def sparql_query(triples: DataFrame, text: str,
             aggregates=aggregates, having=spec["having"],
             optional=g["optional"], filters=g["filters"],
             minus=g["minus"], values=g["values"],
-            relations=_path_relations(triples, g),
+            relations=_path_relations(triples, g)
+            + _subquery_relations(triples, g, graph_col),
         )
         cols = [n for n, _ in spec["projection"]]
         out = out.select(*cols) if cols else out
@@ -959,3 +1108,44 @@ def sparql_query(triples: DataFrame, text: str,
     return solution_modifiers(
         out, distinct=spec["distinct"], order_by=spec["order_by"],
         limit=spec["limit"], offset=spec["offset"])
+
+
+def _exec_update(triples: DataFrame, spec: dict) -> DataFrame:
+    """Execute a parsed update spec; returns the NEW triple table
+    (the caller persists it — same functional contract as
+    ``bgp.update_where``)."""
+    from pyspark.sql import functions as F
+
+    from .bgp import update_where
+
+    key = ["subj", "pred", "obj"]
+    if spec["data"]:
+        pats = spec["delete" if spec["data"] == "delete" else "insert"]
+        lit = triples.sparkSession.createDataFrame(
+            [(s, p, o, bool(f)) for s, p, o, f in pats],
+            "subj string, pred string, obj string, obj_is_uri boolean",
+        )
+        if spec["data"] == "delete":
+            return triples.join(F.broadcast(lit.select(*key)),
+                                on=key, how="left_anti")
+        # INSERT DATA: set-semantics — already-present keys are no-ops
+        ins = lit.select(*[
+            (F.col(c) if c in lit.columns
+             else F.lit(None).cast(triples.schema[c].dataType)).alias(c)
+            for c in triples.columns
+        ]).dropDuplicates(key)
+        ins = ins.join(triples.select(*key), on=key, how="left_anti")
+        return triples.unionByName(ins)
+    g = spec["group"]
+    if (g["unions"] or g["graphs"] or g["paths"] or g["subqueries"]
+            or g["minus"] or g["values"] or g["binds"]
+            or g["exists"] or g["not_exists"]):
+        raise SparqlSyntaxError(
+            "update WHERE groups support plain patterns, OPTIONAL "
+            "and FILTERs only in text form")
+    return update_where(
+        triples, g["patterns"],
+        delete=[(s, p, o) for s, p, o, _ in spec["delete"]],
+        insert=spec["insert"],
+        optional=g["optional"], filters=g["filters"],
+    )

@@ -298,3 +298,73 @@ def test_graph_mixed_with_plain_raises(kg):
             PREFIX ex: <http://ex.org/>
             SELECT ?n WHERE { GRAPH <g0> { ?p ex:name ?n } }
         """)  # no graph column on the table
+
+
+def test_subquery_in_where(kg):
+    # inner SELECT finds the max age per type; outer joins names
+    out = sparql_query(kg, """
+        PREFIX ex: <http://ex.org/>
+        SELECT ?n ?m WHERE {
+          ?p ex:name ?n ; ex:age ?m .
+          { SELECT (MAX(CAST(?a AS INT)) AS ?m) WHERE {
+              ?q ex:age ?a } }
+          FILTER (CAST(?m AS INT) = 34)
+        }
+    """)
+    # subquery binds ?m = 34 (max age); join on ?m keeps alice only
+    # (the joined column keeps the OUTER side's string value)
+    rows = _set(out)
+    assert rows == {("Alice", "34")}
+
+
+def test_insert_and_delete_data(kg):
+    out = sparql_query(kg, """
+        PREFIX ex: <http://ex.org/>
+        INSERT DATA {
+          ex:dave a ex:Person ; ex:name "Dave" .
+          ex:alice ex:name "Alice" .
+        }
+    """)
+    rows = {(r.subj, r.pred, r.obj) for r in out.collect()}
+    assert (EX + "dave", RDF_TYPE, EX + "Person") in rows
+    assert (EX + "dave", EX + "name", "Dave") in rows
+    # duplicate insert is a no-op (set semantics)
+    assert out.count() == kg.count() + 2
+    # inserted IRI object carries the flag; literal does not
+    flags = {r.obj: r.obj_is_uri for r in out.collect()
+             if r.subj == EX + "dave"}
+    assert flags == {EX + "Person": True, "Dave": False}
+
+    out2 = sparql_query(out, """
+        PREFIX ex: <http://ex.org/>
+        DELETE DATA { ex:dave ex:name "Dave" }
+    """)
+    assert out2.count() == out.count() - 1
+
+
+def test_delete_where_and_full_update(kg):
+    out = sparql_query(kg, """
+        PREFIX ex: <http://ex.org/>
+        DELETE WHERE { ?p ex:age ?a }
+    """)
+    assert out.filter(out.pred == EX + "age").count() == 0
+    assert out.count() == kg.count() - 2
+
+    out2 = sparql_query(kg, """
+        PREFIX ex: <http://ex.org/>
+        DELETE { ?p a ex:Robot }
+        INSERT { ?p a ex:Droid . ?p ex:tag "retyped" }
+        WHERE { ?p a ex:Robot }
+    """)
+    rows = {(r.subj, r.pred, r.obj) for r in out2.collect()}
+    assert (EX + "carol", RDF_TYPE, EX + "Robot") not in rows
+    assert (EX + "carol", RDF_TYPE, EX + "Droid") in rows
+    assert (EX + "carol", EX + "tag", "retyped") in rows
+
+
+def test_data_block_rejects_variables(kg):
+    with pytest.raises(SparqlSyntaxError, match="variables"):
+        sparql_query(kg, """
+            PREFIX ex: <http://ex.org/>
+            INSERT DATA { ?p ex:name "x" }
+        """)
