@@ -377,3 +377,85 @@ def test_bucketed_tables_join_shuffle_free(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS " + a_t)
         spark.sql("DROP TABLE IF EXISTS " + b_t)
+
+
+def test_sparql_text_plan_equals_pattern_api(spark):
+    """The text front-end is a PARSER, not an engine: the optimized
+    plan of a parsed query must be byte-identical to the plan the
+    pattern-list API builds for the same BGP — no wrapper nodes, no
+    lost pushdown."""
+    from pyspark.sql import functions as F
+
+    from rdf_converter_spark.operators.bgp import bgp_match
+    from rdf_converter_spark.operators.sparql_text import sparql_query
+
+    kg = spark.createDataFrame(
+        [("s%d" % i, "http://x/p" + str(i % 3), "o%d" % i, True)
+         for i in range(30)],
+        "subj string, pred string, obj string, obj_is_uri boolean",
+    ).localCheckpoint()
+    text_df = sparql_query(kg, """
+        SELECT ?s ?o WHERE {
+          ?s <http://x/p0> ?o .
+          ?s <http://x/p1> ?o2 .
+          FILTER (?o != "nope")
+        }
+    """)
+    api_df = bgp_match(
+        kg,
+        [("?s", "http://x/p0", "?o"), ("?s", "http://x/p1", "?o2")],
+        filters=['?o != "nope"'],
+    ).select("s", "o")
+
+    def opt(df):
+        return df._jdf.queryExecution().optimizedPlan().toString()
+
+    # normalize auto-generated expression ids
+    import re as _re
+
+    def norm(p):
+        return _re.sub(r"#\d+", "#x", p)
+
+    assert norm(opt(text_df)) == norm(opt(api_df))
+
+
+def test_sparql_text_constant_pushdown_reaches_scan(spark, tmp_path):
+    """A constant predicate written in query TEXT must still reach
+    the parquet reader as a pushed filter."""
+    from rdf_converter_spark.operators.sparql_text import sparql_query
+
+    path = str(tmp_path / "kg")
+    spark.createDataFrame(
+        [("s%d" % i, "http://x/p" + str(i % 3), "o%d" % i, True)
+         for i in range(50)],
+        "subj string, pred string, obj string, obj_is_uri boolean",
+    ).write.parquet(path)
+    kg = spark.read.parquet(path)
+    df = sparql_query(
+        kg, 'SELECT ?s WHERE { ?s <http://x/p1> "o1" }')
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    pushed = plan.split("PushedFilters")[1][:300]
+    assert "pred" in pushed and "obj" in pushed, plan
+
+
+def test_sparql_text_graph_constant_prunes_partitions(spark, tmp_path):
+    """A constant GRAPH term in query text must become a partition
+    filter on a graph-partitioned quad table."""
+    from rdf_converter_spark.operators.sparql_text import sparql_query
+
+    path = str(tmp_path / "quads")
+    spark.createDataFrame(
+        [("g%d" % (i % 2), "s%d" % i, "http://x/p", "o%d" % i, True)
+         for i in range(40)],
+        "graph string, subj string, pred string, obj string, "
+        "obj_is_uri boolean",
+    ).write.partitionBy("graph").parquet(path)
+    quads = spark.read.parquet(path)
+    df = sparql_query(quads, """
+        SELECT ?s ?o WHERE { GRAPH <g1> { ?s <http://x/p> ?o } }
+    """)
+    plan = _plan(df)
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters")[1][:200]
+    assert "g1" in pf, plan
