@@ -379,6 +379,12 @@ def construct(
     template: Sequence[Tuple[str, str, str]],
     optional: Sequence[Sequence[Tuple[str, str, str]]] = (),
     relations: Sequence[DataFrame] = (),
+    filters: Sequence[str] = (),
+    minus: Sequence[Sequence[Tuple[str, str, str]]] = (),
+    values: Sequence[dict] = (),
+    exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
+    not_exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
+    binds: Sequence[Tuple[str, str]] = (),
 ) -> DataFrame:
     """SPARQL ``CONSTRUCT``: match the BGP (with optional groups),
     instantiate each ``template`` triple from the solution bindings,
@@ -399,7 +405,9 @@ def construct(
     ``distinct`` (CONSTRUCT returns a set-semantics graph)."""
     if not template:
         raise ValueError("empty CONSTRUCT template")
-    sols = bgp_match(triples, patterns, optional, relations=relations)
+    sols = bgp_match(triples, patterns, optional, filters, minus,
+                     values, exists, not_exists, binds,
+                     relations=relations)
 
     def term(t: str):
         return F.col(t[1:]) if _is_var(t) else F.lit(t)
@@ -509,6 +517,9 @@ def bgp_aggregate(
     minus: Sequence[Sequence[Tuple[str, str, str]]] = (),
     values: Sequence[dict] = (),
     relations: Sequence[DataFrame] = (),
+    exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
+    not_exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
+    binds: Sequence[Tuple[str, str]] = (),
 ) -> DataFrame:
     """SPARQL GROUP BY + aggregates + HAVING over a BGP.
 
@@ -533,7 +544,7 @@ def bgp_aggregate(
     if not aggregates:
         raise ValueError("bgp_aggregate needs at least one aggregate")
     sols = bgp_match(triples, patterns, optional, filters, minus, values,
-                     relations=relations)
+                     exists, not_exists, binds, relations=relations)
     keys = [g.lstrip("?") for g in group_by]
     for k in keys:
         if k not in sols.columns:
@@ -563,6 +574,9 @@ def ask(
     minus: Sequence[Sequence[Tuple[str, str, str]]] = (),
     values: Sequence[dict] = (),
     relations: Sequence[DataFrame] = (),
+    exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
+    not_exists: Sequence[Sequence[Tuple[str, str, str]]] = (),
+    binds: Sequence[Tuple[str, str]] = (),
 ) -> bool:
     """SPARQL ``ASK``: does the pattern have at least one solution?
 
@@ -572,7 +586,7 @@ def ask(
     BGP evaluation. (The one-row fetch is a driver action by nature;
     ASK returns a scalar.)"""
     sols = bgp_match(triples, patterns, optional, filters, minus, values,
-                     relations=relations)
+                     exists, not_exists, binds, relations=relations)
     return bool(sols.limit(1).take(1))
 
 

@@ -50,7 +50,6 @@ def transitive_closure(
     child: str = "child",
     parent: str = "parent",
     max_iter: int = 16,
-    extra_keys: "tuple[str, ...]" = (),
 ) -> DataFrame:
     """Transitive closure of a (schema-sized) edge set by SEMI-NAIVE
     non-linear iteration: each round joins only the paths DISCOVERED
@@ -65,21 +64,20 @@ def transitive_closure(
     of the per-round checkpointed deltas — no closure-wide shuffle
     anywhere. Counts run on the (checkpointed) delta only.
 
-    ``extra_keys`` names grouping columns closed independently —
-    e.g. ``("pred",)`` closes every predicate's edge set in one
-    loop. Input is ontology-/chain-sized by contract (see module
+    Input is ontology-/chain-sized by contract (see module
     docstring); corpus-scale dense graphs are a connected-components
-    job (operators/cc.py)."""
-    keys = list(extra_keys)
-    cols = keys + [child, parent]
+    job (operators/cc.py). A MULTI-predicate closure that also needs
+    inverse/symmetric interaction lives in
+    ``operators/owl.py:owl_entail_lite`` (its fixpoint interleaves
+    the rules per round, which this single-relation loop cannot)."""
+    cols = [child, parent]
     acc = edges.select(*cols).distinct().localCheckpoint()
     delta = acc
     if not acc.take(1):
         return acc
     for _ in range(max_iter):
-        cond = [F.col("a." + k) == F.col("b." + k) for k in keys]
-        cond.append(F.col("a." + parent) == F.col("b." + child))
-        sel = [F.col("a." + k).alias(k) for k in keys] + [
+        cond = [F.col("a." + parent) == F.col("b." + child)]
+        sel = [
             F.col("a." + child).alias(child),
             F.col("b." + parent).alias(parent),
         ]

@@ -523,6 +523,13 @@ class _P:
                     raise SparqlSyntaxError(
                         "UNION mixed with other top-level patterns is "
                         "not supported in text form")
+                for b in branches:
+                    if (b["optional"] or b["minus"] or b["values"]
+                            or b["binds"] or b["exists"]
+                            or b["not_exists"]):
+                        raise SparqlSyntaxError(
+                            "UNION branches support plain triple "
+                            "patterns and FILTERs only in text form")
                 g["unions"] = branches
                 continue
             if k == "kw":
@@ -596,6 +603,17 @@ class _P:
                 raise SparqlSyntaxError(
                     "expected a triple pattern, got %r" % (self.peek(),))
             g["patterns"].extend(pats)
+        if g["unions"] and any(
+            g[x] for x in ("patterns", "paths", "subqueries", "graphs",
+                           "optional", "minus", "values", "binds",
+                           "exists", "not_exists")
+        ):
+            # the creation-time check catches patterns BEFORE the
+            # UNION; this catches anything written after it (which
+            # would otherwise parse and then be silently dropped)
+            raise SparqlSyntaxError(
+                "UNION mixed with other group members is not "
+                "supported in text form")
         return g
 
     def _plain_group(self) -> dict:
@@ -698,10 +716,19 @@ class _P:
         return rows
 
 
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", '"': '"', "\\": "\\",
+            "'": "'", "b": "\b", "f": "\f"}
+
+
 def _unescape(s: str) -> str:
-    return (
-        s.replace("\\\"", "\"").replace("\\n", "\n").replace("\\t", "\t")
-        .replace("\\r", "\r").replace("\\\\", "\\")
+    # single left-to-right pass: sequential str.replace corrupted
+    # escaped backslashes followed by n/t/r ("C:\\network" ->
+    # backslash+NEWLINE) because the \n rule saw the second
+    # backslash before the \\ rule could consume the pair
+    return re.sub(
+        r"\\(.)",
+        lambda m: _ESCAPES.get(m.group(1), "\\" + m.group(1)),
+        s,
     )
 
 
@@ -889,9 +916,11 @@ def _proj_expr(p: _P) -> str:
         p.eat_punct(")")
         if fn == "group_concat":
             arg = inner[-1]
+            collect = ("collect_set" if "DISTINCT" in inner
+                       else "collect_list")
             # deterministic form: sorted collect, engine-neutral
-            return ("array_join(sort_array(collect_list(%s)), '%s')"
-                    % (arg, (sep if sep is not None else " ")
+            return ("array_join(sort_array(%s(%s)), '%s')"
+                    % (collect, arg, (sep if sep is not None else " ")
                        .replace("'", "''")))
         if fn == "sample":
             return "min(%s)" % inner[-1]  # deterministic SAMPLE
@@ -996,8 +1025,9 @@ def _exec_group(triples: DataFrame, g: dict,
                           graph_col=graph_col)
     if g["unions"]:
         if any(g[x] for x in
-               ("optional", "filters", "minus", "values", "exists",
-                "not_exists", "binds", "paths")):
+               ("patterns", "optional", "filters", "minus", "values",
+                "exists", "not_exists", "binds", "paths",
+                "subqueries")):
             raise SparqlSyntaxError(
                 "UNION mixed with group-level modifiers is not "
                 "supported in text form")
@@ -1044,18 +1074,29 @@ def sparql_query(triples: DataFrame, text: str,
                 for b in g["unions"])
         return ask(triples, g["patterns"], optional=g["optional"],
                    filters=g["filters"], minus=g["minus"],
-                   values=g["values"],
+                   values=g["values"], exists=g["exists"],
+                   not_exists=g["not_exists"], binds=g["binds"],
                    relations=_path_relations(triples, g)
                    + _subquery_relations(triples, g, graph_col))
     if spec["form"] == "construct":
-        out = construct(triples, g["patterns"], spec["template"],
-                        optional=g["optional"],
-                        relations=_path_relations(triples, g)
-                        + _subquery_relations(triples, g, graph_col))
-        # CONSTRUCT ignores SELECT-style projection; modifiers apply
-        return solution_modifiers(
-            out, order_by=[c for c in spec["order_by"]],
-            limit=spec["limit"], offset=spec["offset"])
+        if (spec["order_by"] or spec["limit"] is not None
+                or spec["offset"] or spec["group_by"] or spec["having"]):
+            # SPARQL applies solution modifiers to the WHERE
+            # solutions BEFORE template instantiation; slicing the
+            # deduplicated output graph instead would be a silent
+            # semantic divergence — refuse, pointing at the correct
+            # composition
+            raise SparqlSyntaxError(
+                "CONSTRUCT with solution modifiers / grouping is not "
+                "supported in text form — run the SELECT with the "
+                "modifiers, then construct() from its rows")
+        return construct(
+            triples, g["patterns"], spec["template"],
+            optional=g["optional"], filters=g["filters"],
+            minus=g["minus"], values=g["values"], exists=g["exists"],
+            not_exists=g["not_exists"], binds=g["binds"],
+            relations=_path_relations(triples, g)
+            + _subquery_relations(triples, g, graph_col))
     if spec["form"] == "update":
         return _exec_update(triples, spec)
     return _exec_select(triples, spec, graph_col=graph_col)
@@ -1089,6 +1130,8 @@ def _exec_select(triples: DataFrame, spec: dict,
             aggregates=aggregates, having=spec["having"],
             optional=g["optional"], filters=g["filters"],
             minus=g["minus"], values=g["values"],
+            exists=g["exists"], not_exists=g["not_exists"],
+            binds=g["binds"],
             relations=_path_relations(triples, g)
             + _subquery_relations(triples, g, graph_col),
         )

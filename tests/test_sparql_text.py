@@ -368,3 +368,90 @@ def test_data_block_rejects_variables(kg):
             PREFIX ex: <http://ex.org/>
             INSERT DATA { ?p ex:name "x" }
         """)
+
+
+# --- review findings (round-5 code review): constructs that parse
+# must either EXECUTE or RAISE — never silently drop ---------------
+
+def test_construct_honors_filters(kg):
+    out = sparql_query(kg, """
+        PREFIX ex: <http://ex.org/>
+        CONSTRUCT { ?p ex:senior "yes" } WHERE {
+          ?p ex:age ?a . FILTER (CAST(?a AS INT) > 10)
+        }
+    """)
+    assert _set(out) == {(EX + "alice", EX + "senior", "yes")}
+
+
+def test_ask_honors_not_exists(kg):
+    # every Person with knows also... bob has no knows edge, so the
+    # NOT EXISTS must make this True; restricting to alice -> False
+    q = """
+        PREFIX ex: <http://ex.org/>
+        ASK { ?p a ex:Person . %s
+              FILTER NOT EXISTS { ?p ex:knows ?x } }
+    """
+    assert sparql_query(kg, q % "") is True
+    assert sparql_query(
+        kg, q % '?p ex:name "Alice" .') is False
+
+
+def test_aggregate_honors_not_exists(kg):
+    out = sparql_query(kg, """
+        PREFIX ex: <http://ex.org/>
+        SELECT (COUNT(*) AS ?n) WHERE {
+          ?p a ex:Person .
+          FILTER NOT EXISTS { ?p ex:knows ?x }
+        }
+    """)
+    assert _set(out) == {(1,)}  # only bob
+
+
+def test_construct_with_modifiers_raises(kg):
+    with pytest.raises(SparqlSyntaxError, match="modifiers"):
+        sparql_query(kg, """
+            PREFIX ex: <http://ex.org/>
+            CONSTRUCT { ?p ex:l ?n } WHERE { ?p ex:name ?n } LIMIT 2
+        """)
+
+
+def test_pattern_after_union_raises(kg):
+    with pytest.raises(SparqlSyntaxError, match="UNION"):
+        sparql_query(kg, """
+            PREFIX ex: <http://ex.org/>
+            SELECT ?p WHERE {
+              { ?p a ex:Robot } UNION { ?p ex:knows ?o }
+              ?p ex:name ?n .
+            }
+        """)
+
+
+def test_union_branch_with_minus_raises(kg):
+    with pytest.raises(SparqlSyntaxError, match="UNION branches"):
+        sparql_query(kg, """
+            PREFIX ex: <http://ex.org/>
+            SELECT ?p WHERE {
+              { ?p a ex:Person MINUS { ?p ex:knows ?x } }
+              UNION { ?p a ex:Robot }
+            }
+        """)
+
+
+def test_group_concat_distinct(kg):
+    dup = kg.unionByName(kg.sparkSession.createDataFrame(
+        [(EX + "dave", EX + "name", "Alice", False)], kg.schema))
+    out = sparql_query(dup, """
+        PREFIX ex: <http://ex.org/>
+        SELECT (GROUP_CONCAT(DISTINCT ?n; SEPARATOR=",") AS ?ns)
+        WHERE { ?p ex:name ?n . VALUES ?n { "Alice" "Bob" } }
+    """)
+    assert _set(out) == {("Alice,Bob",)}  # duplicate Alice collapsed
+
+
+def test_unescape_backslash_sequences():
+    from rdf_converter_spark.operators.sparql_text import _unescape
+
+    # escaped backslash followed by a literal n must NOT become \n
+    assert _unescape("C:\\\\network") == "C:\\network"
+    assert _unescape('say \\"hi\\"\\n') == 'say "hi"\n'
+    assert _unescape("tab\\there") == "tab\there"
