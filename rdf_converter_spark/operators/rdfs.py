@@ -13,7 +13,8 @@ is static (no derived schema triples), which is the standard
 assumption for production KG pipelines:
 
 1. rdfs5/11: transitive closure of ``subPropertyOf`` / ``subClassOf``
-   (schema-only; iterative doubling, log2(diameter) rounds).
+   (schema-only; semi-naive delta iteration at the doubling rate,
+   O(log2(diameter)) rounds).
 2. rdfs7: instance triples inherit super-properties.
 3. rdfs2/3: domain/range typing over the rdfs7-extended triples (so a
    domain declared on a *super*-property still fires).

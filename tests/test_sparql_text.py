@@ -455,3 +455,52 @@ def test_unescape_backslash_sequences():
     assert _unescape("C:\\\\network") == "C:\\network"
     assert _unescape('say \\"hi\\"\\n') == 'say "hi"\n'
     assert _unescape("tab\\there") == "tab\there"
+
+
+# --- property tests (hypothesis): parse is a faithful inverse of
+# rendering, and string literals round-trip through escaping --------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _IRIS = {"<http://x/a>": "http://x/a", "<http://x/b>": "http://x/b",
+             "ex:c": EX + "c", "a": RDF_TYPE}
+    _iri = st.sampled_from(sorted(_IRIS))
+    _var = st.sampled_from(["?v1", "?v2", "?v3"])
+    _subj = st.one_of(st.sampled_from(
+        ["<http://x/a>", "<http://x/b>", "ex:c"]), _var)
+    _obj = st.one_of(_iri, _var, st.just('"lit"'))
+    _triple = st.tuples(_subj, _iri, _obj)
+
+    def _expand(t):
+        if t in _IRIS:
+            return _IRIS[t]
+        if t == '"lit"':
+            return "lit"
+        return t
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(_triple, min_size=1, max_size=4))
+    def test_fuzz_pattern_parse_roundtrip(pats):
+        text = ("PREFIX ex: <http://ex.org/> SELECT * WHERE { "
+                + " . ".join(" ".join(t) for t in pats) + " }")
+        spec = parse_query(text)
+        assert spec["group"]["patterns"] == [
+            tuple(_expand(t) for t in p) for p in pats]
+
+    @settings(max_examples=80, deadline=None)
+    @given(st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",),
+                               max_codepoint=0x2FF),
+        max_size=25,
+    ))
+    def test_fuzz_string_literal_roundtrip(s):
+        esc = (s.replace("\\", "\\\\").replace('"', '\\"')
+               .replace("\n", "\\n").replace("\r", "\\r")
+               .replace("\t", "\\t"))
+        spec = parse_query(
+            'SELECT ?x WHERE { ?x <http://p> "%s" }' % esc)
+        assert spec["group"]["patterns"][0][2] == s
+except ImportError:  # pragma: no cover — hypothesis is baked in
+    pass
