@@ -55,7 +55,11 @@ outside it — never a silent wrong answer):
 Out of scope, by design (raise): federated SERVICE; property paths,
 GRAPH blocks and subqueries inside OPTIONAL/MINUS/EXISTS groups or
 UNION branches; GRAPH mixed with unscoped patterns / non-SELECT
-forms.
+forms; FROM / FROM NAMED dataset clauses (the dataset IS the
+DataFrame argument); language-tagged (``"x"@en``) and
+datatype-annotated (``"1"^^xsd:int``) literal SYNTAX — the engine
+stores tags in separate ``obj_lang``/``obj_datatype`` columns, so
+tag constraints are plain FILTERs on those columns instead.
 
 Scale shape: parsing is driver-side over a bounded query string
 (microseconds); everything executed is the SAME plan the pattern-
@@ -768,6 +772,11 @@ def _select_spec(p: "_P") -> dict:
         raise SparqlSyntaxError("SELECT needs a projection")
     spec["star"] = star
     spec["projection"] = proj
+    if p.at_kw("from"):
+        raise SparqlSyntaxError(
+            "FROM / FROM NAMED dataset clauses are not supported — "
+            "the dataset IS the DataFrame you pass (filter a quad "
+            "table's graph column, or use GRAPH blocks)")
     if p.at_kw("where"):
         p.next()
     spec["group"] = p.group()

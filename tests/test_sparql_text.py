@@ -504,3 +504,11 @@ try:
         assert spec["group"]["patterns"][0][2] == s
 except ImportError:  # pragma: no cover — hypothesis is baked in
     pass
+
+
+def test_from_clause_raises(kg):
+    with pytest.raises(SparqlSyntaxError, match="FROM"):
+        sparql_query(kg, """
+            PREFIX ex: <http://ex.org/>
+            SELECT ?s FROM <http://ex.org/g> WHERE { ?s a ex:Person }
+        """)
