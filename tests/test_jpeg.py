@@ -233,3 +233,35 @@ def test_decode_image_dispatch_progressive():
     data = encode_jpeg_progressive(rgb, subsampling="420",
                                    quant_tables=_dc8_tables())
     assert np.array_equal(decode_image(data), rgb)
+
+
+def test_mutation_fuzz_terminates():
+    """Crawl payloads are hostile: single-byte mutations of valid
+    baseline AND progressive streams must always TERMINATE — either
+    decode (bit flips in pixel data are still pixels) or raise —
+    never hang or loop. Deterministic mutation schedule."""
+    from rdf_converter_spark.operators.jpegkit import (
+        encode_jpeg_progressive,
+    )
+
+    rgb = _const_block_image(3, 2, seed=13)
+    streams = [
+        encode_jpeg(rgb, quality=80, subsampling="420"),
+        encode_jpeg_progressive(rgb, quality=80, subsampling="420"),
+    ]
+    rng = np.random.RandomState(99)
+    outcomes = {"ok": 0, "raised": 0}
+    for data in streams:
+        buf = bytearray(data)
+        for _ in range(40):
+            i = int(rng.randint(2, len(buf)))
+            old = buf[i]
+            buf[i] = int(rng.randint(0, 256))
+            try:
+                out = decode_jpeg(bytes(buf))
+                assert out.ndim == 3 and out.shape[2] == 3
+                outcomes["ok"] += 1
+            except Exception:  # noqa: BLE001 — any raise is fine
+                outcomes["raised"] += 1
+            buf[i] = old
+    assert sum(outcomes.values()) == 80
