@@ -71,16 +71,19 @@ class SparkGraph:
     @classmethod
     def parse(cls, spark: SparkSession, path: str,
               format: str = "nt") -> "SparkGraph":
-        """Load from N-Triples / N-Quads files (distributed line
-        parse, ``sources/rdf.py``)."""
-        from .sources.rdf import read_nquads, read_ntriples
+        """Load from N-Triples / N-Quads (distributed line parse) or
+        Turtle (distributed whole-file parse) — ``sources/rdf.py``."""
+        from .sources.rdf import read_nquads, read_ntriples, read_turtle
 
         if format in ("nt", "ntriples", "nt11"):
             return cls(read_ntriples(spark, path))
         if format in ("nquads", "nq"):
             return cls(read_nquads(spark, path).drop("graph"))
+        if format in ("turtle", "ttl"):
+            return cls(read_turtle(spark, path))
         raise ValueError(
-            "unsupported parse format %r (nt / nquads)" % format)
+            "unsupported parse format %r (nt / nquads / turtle)"
+            % format)
 
     # -- rdflib-style read surface --------------------------------------
     def __len__(self) -> int:

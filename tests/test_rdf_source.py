@@ -161,3 +161,57 @@ def test_nquads_roundtrip_with_distributed_writer(spark, tmp_path):
     to_nquads_distributed(src, out)
     back = read_nquads(spark, out)
     assert {tuple(r) for r in back.collect()} == set(rows)
+
+
+# --- Turtle source (round-5: whole-file distributed parse) ------------
+
+def test_turtle_roundtrip_through_pretty_writer(spark, tmp_path):
+    from rdf_converter_spark.operators.export import to_turtle_pretty
+    from rdf_converter_spark.sources.rdf import read_turtle
+
+    rows = [
+        ("http://e/s1", "http://e/p", "o plain", False, None, None),
+        ("http://e/s1", "http://e/p", "http://e/o", True, None, None),
+        ("http://e/s1", "http://e/q", "fi text", False, "fi", None),
+        ("http://e/s2", "http://e/p", "2024-01-01", False, None,
+         "http://www.w3.org/2001/XMLSchema#date"),
+        ("http://e/s2", "http://e/p", 'quote " back \\ slash', False,
+         None, None),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "subj string, pred string, obj string, obj_is_uri boolean, "
+        "obj_lang string, obj_datatype string",
+    )
+    p = str(tmp_path / "g.ttl")
+    to_turtle_pretty(df, p)
+    back = read_turtle(spark, p)
+    assert {tuple(r) for r in back.collect()} == set(rows)
+
+
+def test_turtle_parser_rejects_unsupported():
+    from rdf_converter_spark.sources.rdf import parse_turtle_text
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="blank nodes"):
+        parse_turtle_text("_:b1 <http://p> <http://o> .")
+    with _pt.raises(ValueError, match="base"):
+        parse_turtle_text("@base <http://e/> .\n<s> <p> <o> .")
+    with _pt.raises(ValueError, match="undeclared"):
+        parse_turtle_text("ex:s <http://p> <http://o> .")
+    with _pt.raises(ValueError, match="mid-statement"):
+        parse_turtle_text("<http://s> <http://p>")
+
+
+def test_sparkgraph_parse_turtle(spark, tmp_path):
+    from rdf_converter_spark.graph import SparkGraph
+
+    p = str(tmp_path / "g.ttl")
+    with open(p, "w") as fh:
+        fh.write(
+            "@prefix ex: <http://ex.org/> .\n"
+            "ex:a a ex:T ; ex:n \"x\" .\n"
+        )
+    g = SparkGraph.parse(spark, p, format="turtle")
+    assert len(g) == 2
+    assert ("http://ex.org/a", "http://ex.org/n", "x") in g
