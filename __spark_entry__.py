@@ -3384,6 +3384,81 @@ ORDER BY c
 """ % _KG_TPCH_ORACLE
 
 
+def q_turtle_parse(spark, sf_dir):
+    """Distributed Turtle round trip (sources/rdf.py:
+    parse_turtle_text + export's escape expression): a COMPLETE
+    Turtle document per input doc — @prefix line, qname predicates,
+    ';' grouping, an escape-heavy literal (newline/quote/tab/
+    backslash), a language-tagged literal and an IRI object — is
+    FORMATTED in-plan and parsed back by the document-scoped Turtle
+    reader in one Arrow pass; the oracle predicts the parsed rows
+    arithmetically from the documents table with zero Turtle code
+    (nt_parse style, for the document-scoped syntax)."""
+    import pandas as pd
+
+    from rdf_converter_spark.operators.export import nt_escape
+    from rdf_converter_spark.sources.rdf import parse_turtle_text
+
+    base = "http://kg.test/"
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.concat(
+        F.lit("T:"), F.substring("text", 1, 30),
+        F.lit('\n"q"\t\\x'),
+    )
+    ttl = F.concat(
+        F.lit("@prefix o: <" + base + "ontology#> .\n<" + base + "doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit('> o:text "'), nt_escape(payload),
+        F.lit('" ;\n    o:lang "'), F.col("lang"),
+        F.lit('"@'), F.col("lang"),
+        F.lit(" ;\n    o:source <" + base + "source/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("> .\n"),
+    )
+    ttl_docs = docs.select(ttl.alias("value"))
+
+    def gen(batches):
+        cols = ["subj", "pred", "obj", "obj_is_uri", "obj_lang",
+                "obj_datatype"]
+        for pdf in batches:
+            rows = []
+            for text in pdf["value"]:
+                rows.extend(parse_turtle_text(text))
+            yield pd.DataFrame(rows, columns=cols)
+
+    parsed = ttl_docs.mapInPandas(
+        gen,
+        schema="subj string, pred string, obj string, "
+               "obj_is_uri boolean, obj_lang string, "
+               "obj_datatype string",
+    )
+    return parsed.select(
+        "subj", "pred", "obj", "obj_is_uri",
+        F.coalesce("obj_lang", F.lit("")).alias("lang_tag"),
+    ).orderBy("subj", "pred", "obj")
+
+
+_TURTLE_PARSE_ORACLE = """
+WITH d AS (
+  SELECT 'http://kg.test/doc/' || doc_id AS subj,
+         'T:' || substr(text, 1, 30) || chr(10) || '"q"' || chr(9)
+           || '\\x' AS payload,
+         lang, doc_id % 7 AS src
+  FROM documents
+)
+SELECT subj, pred, obj, obj_is_uri, lang_tag FROM (
+  SELECT subj, 'http://kg.test/ontology#text' AS pred,
+         payload AS obj, FALSE AS obj_is_uri, '' AS lang_tag FROM d
+  UNION ALL
+  SELECT subj, 'http://kg.test/ontology#lang', lang, FALSE, lang FROM d
+  UNION ALL
+  SELECT subj, 'http://kg.test/ontology#source',
+         'http://kg.test/source/' || src, TRUE, '' FROM d
+)
+ORDER BY subj, pred, obj
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001: KG triple construction
     over the star schema via the engine's emission operators."""
@@ -3438,6 +3513,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sparql_text_quads": q_sparql_text_quads,
         "sparql_text_update": q_sparql_text_update,
         "sparql_text_subquery": q_sparql_text_subquery,
+        "turtle_parse": q_turtle_parse,
         # -- last verified in CORRECTNESS_r03 --------------------------
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "near_dup_clusters": q_near_dup_clusters,
@@ -3612,6 +3688,7 @@ def oracle_sql() -> dict[str, str]:
         "sparql_text_quads": _SPARQL_TEXT_QUADS_ORACLE,
         "sparql_text_update": _SPARQL_UPDATE_ORACLE,
         "sparql_text_subquery": _SPARQL_TEXT_SUBQUERY_ORACLE,
+        "turtle_parse": _TURTLE_PARSE_ORACLE,
         "bgp_match": _BGP_ORACLE,
         "bgp_optional": _BGP_OPTIONAL_ORACLE,
         "property_table": _PROPERTY_TABLE_ORACLE,

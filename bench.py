@@ -173,6 +173,7 @@ HEADLINE = [
     "sparql_text_quads",
     "sparql_text_update",
     "sparql_text_subquery",
+    "turtle_parse",
 ]
 
 
