@@ -3394,44 +3394,30 @@ def q_turtle_parse(spark, sf_dir):
     reader in one Arrow pass; the oracle predicts the parsed rows
     arithmetically from the documents table with zero Turtle code
     (nt_parse style, for the document-scoped syntax)."""
-    import pandas as pd
-
     from rdf_converter_spark.operators.export import nt_escape
-    from rdf_converter_spark.sources.rdf import parse_turtle_text
+    from rdf_converter_spark.sources.rdf import parse_turtle_docs
 
     base = "http://kg.test/"
     docs = _t(spark, sf_dir, "documents")
+    # nullable schema: coalesce text/lang so a NULL can never null
+    # the whole document string (mirrored in the oracle)
+    text_nn = F.coalesce(F.col("text"), F.lit(""))
+    lang_nn = F.coalesce(F.col("lang"), F.lit("und"))
     payload = F.concat(
-        F.lit("T:"), F.substring("text", 1, 30),
+        F.lit("T:"), F.substring(text_nn, 1, 30),
         F.lit('\n"q"\t\\x'),
     )
     ttl = F.concat(
         F.lit("@prefix o: <" + base + "ontology#> .\n<" + base + "doc/"),
         F.col("doc_id").cast("string"),
         F.lit('> o:text "'), nt_escape(payload),
-        F.lit('" ;\n    o:lang "'), F.col("lang"),
-        F.lit('"@'), F.col("lang"),
+        F.lit('" ;\n    o:lang "'), lang_nn,
+        F.lit('"@'), lang_nn,
         F.lit(" ;\n    o:source <" + base + "source/"),
         (F.col("doc_id") % 7).cast("string"),
         F.lit("> .\n"),
     )
-    ttl_docs = docs.select(ttl.alias("value"))
-
-    def gen(batches):
-        cols = ["subj", "pred", "obj", "obj_is_uri", "obj_lang",
-                "obj_datatype"]
-        for pdf in batches:
-            rows = []
-            for text in pdf["value"]:
-                rows.extend(parse_turtle_text(text))
-            yield pd.DataFrame(rows, columns=cols)
-
-    parsed = ttl_docs.mapInPandas(
-        gen,
-        schema="subj string, pred string, obj string, "
-               "obj_is_uri boolean, obj_lang string, "
-               "obj_datatype string",
-    )
+    parsed = parse_turtle_docs(docs.select(ttl.alias("value")))
     return parsed.select(
         "subj", "pred", "obj", "obj_is_uri",
         F.coalesce("obj_lang", F.lit("")).alias("lang_tag"),
@@ -3441,9 +3427,9 @@ def q_turtle_parse(spark, sf_dir):
 _TURTLE_PARSE_ORACLE = """
 WITH d AS (
   SELECT 'http://kg.test/doc/' || doc_id AS subj,
-         'T:' || substr(text, 1, 30) || chr(10) || '"q"' || chr(9)
-           || '\\x' AS payload,
-         lang, doc_id % 7 AS src
+         'T:' || substr(coalesce(text, ''), 1, 30) || chr(10) || '"q"'
+           || chr(9) || '\\x' AS payload,
+         coalesce(lang, 'und') AS lang, doc_id % 7 AS src
   FROM documents
 )
 SELECT subj, pred, obj, obj_is_uri, lang_tag FROM (

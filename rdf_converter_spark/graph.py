@@ -15,6 +15,19 @@ migration is a constructor swap:
     g2 = g.update('INSERT DATA { <s> <p> "o" }')     # NEW graph
     g2.serialize("out.ttl", format="turtle")
 
+Triple identity is the FULL term: ``(subj, pred, obj, obj_is_uri,
+obj_lang, obj_datatype)`` — ``"x"@en`` and ``"x"@fr`` are distinct
+triples (RDF semantics), so ``len``/``add``/``+`` key on all six
+columns (null-safe). ``__contains__``/``triples()`` take bare
+``(s, p, o)`` tuples and match LEXICALLY — any tag variant counts —
+because that is the probe shape rdflib callers pass.
+
+When the flag columns are absent, ``obj_is_uri`` defaults from a
+``http://``/``https://`` prefix heuristic — a convenience for plain
+3-column tables, NOT RDF-faithful (a literal that happens to start
+with a URL scheme is misclassified); pass the real flag column for
+correctness.
+
 Two deliberate divergences from rdflib, both scale-driven:
 
 - **Immutability.** ``add``/``remove``/``update`` return a NEW
@@ -61,9 +74,11 @@ class SparkGraph:
         for c, t in (("obj_is_uri", "boolean"), ("obj_lang", "string"),
                      ("obj_datatype", "string")):
             if c not in df.columns:
-                default = (F.col("obj").startswith("http")
-                           if c == "obj_is_uri"
-                           else F.lit(None).cast(t))
+                default = (
+                    F.col("obj").startswith("http://")
+                    | F.col("obj").startswith("https://")
+                    if c == "obj_is_uri"
+                    else F.lit(None).cast(t))
                 df = df.withColumn(c, default)
         self.df = df.select(*_FULL)
 
@@ -87,7 +102,8 @@ class SparkGraph:
 
     # -- rdflib-style read surface --------------------------------------
     def __len__(self) -> int:
-        return self.df.select(*_COLS).distinct().count()
+        # full-term identity: "x"@en and "x"@fr are two triples
+        return self.df.select(*_FULL).distinct().count()
 
     def __contains__(self, spo: Tuple[str, str, str]) -> bool:
         s, p, o = spo
@@ -141,15 +157,23 @@ class SparkGraph:
         return SparkGraph(sparql_query(self.df, text))
 
     # -- functional mutation --------------------------------------------
-    def add(self, spo, obj_is_uri: bool = False) -> "SparkGraph":
+    def add(self, spo, obj_is_uri: bool = False,
+            lang: Optional[str] = None,
+            datatype: Optional[str] = None) -> "SparkGraph":
         s, p, o = spo
         row = self.df.sparkSession.createDataFrame(
-            [(s, p, o, bool(obj_is_uri), None, None)],
+            [(s, p, o, bool(obj_is_uri), lang, datatype)],
             "subj string, pred string, obj string, obj_is_uri boolean,"
             " obj_lang string, obj_datatype string",
         )
-        new = row.join(self.df.select(*_COLS), on=list(_COLS),
-                       how="left_anti")
+        # full-term anti-join, NULL-SAFE on the nullable tag columns
+        # (a plain on=list join would never match null keys and every
+        # add of an untagged triple would duplicate)
+        cond = None
+        for c in _FULL:
+            eq = row[c].eqNullSafe(self.df[c])
+            cond = eq if cond is None else cond & eq
+        new = row.join(self.df, on=cond, how="left_anti")
         return SparkGraph(self.df.unionByName(new))
 
     def remove(self, spo) -> "SparkGraph":
@@ -161,8 +185,10 @@ class SparkGraph:
         return SparkGraph(self.df.filter(~cond))
 
     def __add__(self, other: "SparkGraph") -> "SparkGraph":
+        # dropDuplicates treats nulls as equal, so full-term identity
+        # needs no sentinel here
         return SparkGraph(
-            self.df.unionByName(other.df).dropDuplicates(list(_COLS)))
+            self.df.unionByName(other.df).dropDuplicates(list(_FULL)))
 
     # -- serialization --------------------------------------------------
     def serialize(self, path: str, format: str = "turtle",
@@ -172,6 +198,11 @@ class SparkGraph:
         from .operators import export
 
         if format in ("turtle", "ttl"):
+            if distributed:
+                raise ValueError(
+                    "distributed Turtle output is not supported "
+                    "(Turtle is document-scoped) — serialize "
+                    "format='nt' with distributed=True instead")
             return export.to_turtle_pretty(self.df, path)
         if format in ("nt", "ntriples"):
             if distributed:

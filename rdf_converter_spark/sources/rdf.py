@@ -213,14 +213,17 @@ def read_nquads(
 
 _TTL_TOKEN = re.compile(
     # <IRI> first (IRIREFs legally contain ';'/','); then literals
-    # with optional @lang/^^dt (datatype charset EXCLUDES the ;,.
-    # separators — a greedy \S+ would swallow a trailing comma);
-    # then separators; then qnames/keywords
-    r'<[^>]*>|"(?:[^"\\]|\\.)*"(?:@[\w-]+|\^\^(?:<[^>]*>|[^\s;,]+))?'
+    # with optional @lang/^^dt (the datatype-QNAME charset excludes
+    # the ;,. separators — a greedy \S+ swallowed trailing commas,
+    # and a '.' would glue the statement terminator into the
+    # datatype; internal-dot datatype qnames consequently fail fast
+    # in the state machine instead of mis-parsing); then separators;
+    # then qnames/keywords
+    r'<[^>]*>|"(?:[^"\\]|\\.)*"(?:@[\w-]+|\^\^(?:<[^>]*>|[^\s;,.]+))?'
     r'|[;,.]|[^\s;,]+'
 )
 _TTL_LIT = re.compile(
-    r'^"((?:[^"\\]|\\.)*)"(?:@([\w-]+)|\^\^(<[^>]*>|[^\s;,]+))?$')
+    r'^"((?:[^"\\]|\\.)*)"(?:@([\w-]+)|\^\^(<[^>]*>|[^\s;,.]+))?$')
 _TTL_PREFIX = re.compile(
     r'@prefix\s+([\w-]*):\s+<([^>]*)>\s*\.\s*$')
 _RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
@@ -278,12 +281,23 @@ def parse_turtle_text(text: str):
         if stripped.startswith("@base") or stripped.lower().startswith(
                 "base "):
             raise ValueError("@base-relative Turtle is not supported")
-        if '"""' in stripped or "'''" in stripped:
-            raise ValueError("multi-line literals are not supported")
         body.append(stripped)
+    # long (triple-quoted) literals fail in the STATE MACHINE below
+    # (the empty-literal prefix tokenizes, then the body token arrives
+    # where a separator is expected) — a text-level check would also
+    # fire on quote runs INSIDE legitimate single-line literals
     subj = pred = None
     expect = "subj"
+    toks = []
     for tok in _TTL_TOKEN.findall(" ".join(body)):
+        # PN_LOCAL cannot END with '.' (Turtle grammar), so a '.'
+        # glued to a qname/datatype token is the statement terminator
+        if (len(tok) > 1 and tok.endswith(".")
+                and not tok.startswith("<") and not tok.startswith('"')):
+            toks.extend([tok[:-1], "."])
+        else:
+            toks.append(tok)
+    for tok in toks:
         if tok == ";":
             expect = "pred"
             continue
@@ -304,7 +318,7 @@ def parse_turtle_text(text: str):
         else:
             raise ValueError(
                 "unexpected token %r (missing '.'/';'/',')" % tok)
-    if expect == "obj":
+    if expect in ("pred", "obj"):
         raise ValueError("Turtle document ends mid-statement")
     return triples
 
@@ -315,6 +329,24 @@ _TTL_SCHEMA = (
 )
 
 
+def parse_turtle_docs(docs: DataFrame, column: str = "value") -> DataFrame:
+    """Parse a DataFrame of whole Turtle DOCUMENTS (one per row in
+    ``column``) into the 6-column triple table — one Arrow pass,
+    shared by :func:`read_turtle` and any in-plan producer of Turtle
+    text (e.g. the driver round-trip query)."""
+
+    def gen(batches):
+        cols = ["subj", "pred", "obj", "obj_is_uri", "obj_lang",
+                "obj_datatype"]
+        for pdf in batches:
+            rows = []
+            for text in pdf[column]:
+                rows.extend(parse_turtle_text(text))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(gen, schema=_TTL_SCHEMA)
+
+
 def read_turtle(spark: SparkSession, path: str) -> DataFrame:
     """Distributed Turtle reader: one WHOLE FILE per row
     (``wholetext`` — Turtle is document-scoped: prefixes and subject
@@ -322,15 +354,4 @@ def read_turtle(spark: SparkSession, path: str) -> DataFrame:
     split on newlines), parsed per-task by ``parse_turtle_text``.
     Parallelism = number of files; a single giant Turtle file should
     be converted to N-Triples first (the engine writes both)."""
-    docs = spark.read.text(path, wholetext=True)
-
-    def gen(batches):
-        cols = ["subj", "pred", "obj", "obj_is_uri", "obj_lang",
-                "obj_datatype"]
-        for pdf in batches:
-            rows = []
-            for text in pdf["value"]:
-                rows.extend(parse_turtle_text(text))
-            yield pd.DataFrame(rows, columns=cols)
-
-    return docs.mapInPandas(gen, schema=_TTL_SCHEMA)
+    return parse_turtle_docs(spark.read.text(path, wholetext=True))

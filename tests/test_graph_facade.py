@@ -94,8 +94,43 @@ def test_serialize_parse_roundtrip(g, spark, tmp_path):
     n = g.serialize(ttl, format="turtle")
     assert n == 5
     text = open(ttl).read()
-    assert text.startswith("@prefix") and "ex" not in text[:1] \
-        and EX + "alice" not in text.split("\n")[0]
+    lines = text.split("\n")
+    assert lines[0].startswith("@prefix")
+    # subjects are grouped (one block per subject, ';' continuation)
+    assert text.count("<" + EX + "alice>") == 1
+    assert " ;" in text and '"Alice"' in text
+    # distributed turtle output is an explicit unsupported combo
+    with pytest.raises(ValueError, match="distributed"):
+        g.serialize(ttl, format="turtle", distributed=True)
+
+
+def test_full_term_identity_lang_variants(spark):
+    from rdf_converter_spark.graph import SparkGraph as G
+
+    base = G(spark.createDataFrame(
+        [(EX + "s", EX + "p", "x", False, "en", None)],
+        "subj string, pred string, obj string, obj_is_uri boolean, "
+        "obj_lang string, obj_datatype string"))
+    # "x"@fr is a DISTINCT triple from "x"@en — both survive a union
+    other = G(spark.createDataFrame(
+        [(EX + "s", EX + "p", "x", False, "fr", None)], base.df.schema))
+    assert len(base + other) == 2
+    # a plain (untagged) "x" is distinct again, and adding it twice
+    # is a no-op (null-safe identity join)
+    g2 = base.add((EX + "s", EX + "p", "x"))
+    assert len(g2) == 2
+    assert len(g2.add((EX + "s", EX + "p", "x"))) == 2
+
+
+def test_obj_is_uri_heuristic_requires_scheme(spark):
+    from rdf_converter_spark.graph import SparkGraph as G
+
+    g = G(spark.createDataFrame(
+        [("http://s", "http://p", "http error 404"),
+         ("http://s", "http://p", "https://real/iri")],
+        "subj string, pred string, obj string"))
+    flags = {r.obj: r.obj_is_uri for r in g.df.collect()}
+    assert flags == {"http error 404": False, "https://real/iri": True}
 
 
 def test_missing_flag_columns_defaulted(spark):

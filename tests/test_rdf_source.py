@@ -215,3 +215,30 @@ def test_sparkgraph_parse_turtle(spark, tmp_path):
     g = SparkGraph.parse(spark, p, format="turtle")
     assert len(g) == 2
     assert ("http://ex.org/a", "http://ex.org/n", "x") in g
+
+
+def test_turtle_trailing_dot_and_quote_runs():
+    """Review findings: a '.' glued to a qname object is the
+    statement terminator (PN_LOCAL cannot end with '.'), apostrophe
+    runs INSIDE a single-line literal are data, a glued datatype
+    terminator must not leak into the datatype IRI, and a dangling
+    subject raises."""
+    from rdf_converter_spark.sources.rdf import parse_turtle_text
+
+    import pytest as _pt
+
+    got = parse_turtle_text(
+        "@prefix ex: <http://e/> .\n<http://s> <http://p> ex:o.")
+    assert got == [("http://s", "http://p", "http://e/o",
+                    True, None, None)]
+    got2 = parse_turtle_text(
+        '@prefix x: <http://x#> .\n<http://s> <http://p> "1"^^x:int.')
+    assert got2 == [("http://s", "http://p", "1",
+                     False, None, "http://x#int")]
+    got3 = parse_turtle_text(
+        '<http://s> <http://p> "it\'s \'\'\' fine" .')
+    assert got3[0][2] == "it's ''' fine"
+    with _pt.raises(ValueError, match="mid-statement"):
+        parse_turtle_text("<http://s>")
+    with _pt.raises(ValueError):  # long literal fails in the machine
+        parse_turtle_text('<http://s> <http://p> """long""" .')
